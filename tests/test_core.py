@@ -1,0 +1,280 @@
+"""Oracle tests for the array API: every result is compared against numpy
+(np.histogram / histogram2d / histogramdd) — the same bit-exact-parity
+contract the reference test suite enforces
+(/root/reference/xhistogram/test/test_core.py).
+"""
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from xhistogram_tpu.core import histogram
+
+bins_arr = np.linspace(-4, 4, 10)
+
+
+@pytest.mark.parametrize("density", [False, True])
+@pytest.mark.parametrize("block_size", ["auto", 7])
+@pytest.mark.parametrize("axis", [1, None])
+@pytest.mark.parametrize("range_", [None, (-4, 4)])
+@pytest.mark.parametrize("add_nans", [False, True])
+def test_histogram_results_1d(block_size, density, axis, range_, add_nans):
+    nrows, ncols = 5, 20
+    np.random.seed(2)
+    data = np.random.randn(nrows, ncols)
+    if add_nans:
+        n_nans = 20
+        data.ravel()[np.random.choice(data.size, n_nans, replace=False)] = np.nan
+    bins = np.linspace(-4, 4, 10)
+
+    h, bin_edges = histogram(
+        data, bins=bins, range=range_, axis=axis, block_size=block_size,
+        density=density,
+    )
+    h = np.asarray(h)
+
+    expected_shape = (
+        (nrows, len(bin_edges[0]) - 1) if axis == 1 else (len(bin_edges[0]) - 1,)
+    )
+    assert h.shape == expected_shape
+
+    if axis:
+        bins_np = np.histogram_bin_edges(data, bins=bins, range=range_)
+        expected = np.stack(
+            [
+                np.histogram(data[i], bins=bins_np, range=range_, density=density)[0]
+                for i in range(nrows)
+            ]
+        )
+    else:
+        expected = np.histogram(data, bins=bins, range=range_, density=density)[0]
+    np.testing.assert_allclose(h, expected, rtol=1e-6)
+
+    if density:
+        widths = np.diff(bins)
+        integral = np.sum(h * widths, axis)
+        np.testing.assert_allclose(integral, 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["scatter", "onehot", "sort"])
+def test_histogram_methods_agree_1d(method):
+    np.random.seed(3)
+    data = np.random.randn(5, 20)
+    h, _ = histogram(data, bins=bins_arr, axis=1, method=method)
+    expected = np.stack(
+        [np.histogram(row, bins=bins_arr)[0] for row in data]
+    )
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+@pytest.mark.parametrize("method", ["scatter", "onehot", "sort"])
+def test_histogram_results_1d_weighted(method):
+    np.random.seed(4)
+    data = np.random.randn(5, 20)
+    h, _ = histogram(data, bins=bins_arr, axis=1, method=method)
+    weights = 2.0 * np.ones_like(data)
+    h_w, _ = histogram(data, bins=bins_arr, axis=1, weights=weights, method=method)
+    np.testing.assert_allclose(2 * np.asarray(h), np.asarray(h_w), rtol=1e-6)
+
+
+def test_histogram_results_1d_weighted_broadcasting():
+    # weights with shape (1, ncols) broadcast against (nrows, ncols) data —
+    # reference test_core.py:84-92
+    np.random.seed(5)
+    data = np.random.randn(5, 20)
+    h, _ = histogram(data, bins=bins_arr, axis=1)
+    weights = 2.0 * np.ones((1, 20))
+    h_w, _ = histogram(data, bins=bins_arr, axis=1, weights=weights)
+    np.testing.assert_allclose(2 * np.asarray(h), np.asarray(h_w), rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["scatter", "onehot", "sort"])
+def test_histogram_right_edge(method):
+    """Last bin must be right-edge inclusive, as for np.histogram
+    (reference test_core.py:95-113)."""
+    nrows, ncols = 5, 20
+    data = np.ones((nrows, ncols))
+    bins = np.array([0, 0.5, 1])  # all data at the rightmost edge
+
+    h, _ = histogram(data, bins=bins, axis=1, method=method)
+    assert h.shape == (nrows, len(bins) - 1)
+
+    hist, _ = np.histogram(data, bins=bins)
+    np.testing.assert_array_equal(hist, np.asarray(h).sum(axis=0))
+
+    h_na, _ = histogram(data, bins=bins, method=method)
+    np.testing.assert_array_equal(hist, np.asarray(h_na))
+
+
+def test_histogram_results_2d():
+    np.random.seed(6)
+    nrows, ncols = 5, 20
+    data_a = np.random.randn(nrows, ncols)
+    data_b = np.random.randn(nrows, ncols)
+    nbins_a, nbins_b = 9, 10
+    bins_a = np.linspace(-4, 4, nbins_a + 1)
+    bins_b = np.linspace(-4, 4, nbins_b + 1)
+
+    h, _ = histogram(data_a, data_b, bins=[bins_a, bins_b])
+    assert h.shape == (nbins_a, nbins_b)
+    hist, _, _ = np.histogram2d(data_a.ravel(), data_b.ravel(), bins=[bins_a, bins_b])
+    np.testing.assert_array_equal(hist, np.asarray(h))
+
+
+def test_histogram_results_2d_broadcasting():
+    # 1-D input broadcast against 2-D input (reference test_core.py:132-157)
+    np.random.seed(7)
+    nrows, ncols = 5, 20
+    data_a = np.random.randn(ncols)
+    data_b = np.random.randn(nrows, ncols)
+    bins_a = np.linspace(-4, 4, 10)
+    bins_b = np.linspace(-4, 4, 11)
+    h, _ = histogram(data_a, data_b, bins=[bins_a, bins_b])
+    hist, _, _ = np.histogram2d(
+        np.broadcast_to(data_a, data_b.shape).ravel(),
+        data_b.ravel(),
+        bins=[bins_a, bins_b],
+    )
+    np.testing.assert_array_equal(hist, np.asarray(h))
+
+
+@pytest.mark.parametrize("add_nans", [False, True])
+def test_histogram_results_2d_density(add_nans):
+    np.random.seed(8)
+    nrows, ncols = 5, 20
+    data_a = np.random.randn(nrows, ncols)
+    data_b = np.random.randn(nrows, ncols)
+    if add_nans:
+        n_nans = 20
+        data_a.ravel()[np.random.choice(data_a.size, n_nans, replace=False)] = np.nan
+        data_b.ravel()[np.random.choice(data_b.size, n_nans, replace=False)] = np.nan
+    bins_a = np.linspace(-4, 4, 10)
+    bins_b = np.linspace(-4, 4, 11)
+
+    h, _ = histogram(data_a, data_b, bins=[bins_a, bins_b], density=True)
+    hist, _, _ = np.histogram2d(
+        data_a.ravel(), data_b.ravel(), bins=[bins_a, bins_b], density=True
+    )
+    np.testing.assert_allclose(np.asarray(h), hist, rtol=1e-5)
+
+    areas = np.outer(np.diff(bins_a), np.diff(bins_b))
+    integral = np.sum(np.asarray(h) * areas)
+    np.testing.assert_allclose(integral, 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("add_nans", [False, True])
+def test_histogram_results_3d_density(add_nans):
+    np.random.seed(9)
+    nrows, ncols = 5, 20
+    data = [np.random.randn(nrows, ncols) for _ in range(3)]
+    if add_nans:
+        for d in data:
+            d.ravel()[np.random.choice(d.size, 20, replace=False)] = np.nan
+    bins = [np.linspace(-4, 4, n + 1) for n in (9, 10, 9)]
+
+    h, _ = histogram(*data, bins=bins, density=True)
+    assert h.shape == (9, 10, 9)
+    hist, _ = np.histogramdd([d.ravel() for d in data], bins=bins, density=True)
+    np.testing.assert_allclose(np.asarray(h), hist, rtol=1e-5)
+
+    areas = np.einsum(
+        "i,j,k", np.diff(bins[0]), np.diff(bins[1]), np.diff(bins[2])
+    )
+    np.testing.assert_allclose(np.sum(np.asarray(h) * areas), 1.0, rtol=1e-6)
+
+
+def test_histogram_shape():
+    """Output shapes for every scalar/pair/full-permutation axis choice on a
+    4-D array (reference test_core.py:231-273)."""
+    shape = 6, 7, 4, 8
+    b = np.random.randn(*shape)
+    bins = np.linspace(-4, 4, 27)
+
+    c, _ = histogram(b, bins=bins)
+    assert c.shape == (len(bins) - 1,)
+    for axis in [(0, 1, 2, 3), (0, 1, 3, 2), (3, 2, 1, 0), (3, 2, 0, 1)]:
+        c, _ = histogram(b, bins=bins, axis=axis)
+        assert c.shape == (len(bins) - 1,)
+
+    for axis in list(range(4)) + list(range(-1, -5, -1)):
+        c, _ = histogram(b, bins=bins, axis=axis)
+        expected = list(b.shape)
+        del expected[axis]
+        assert c.shape == tuple(expected) + (len(bins) - 1,)
+
+    for i, j in combinations(range(4), 2):
+        c, _ = histogram(b, bins=bins, axis=(i, j))
+        expected = [b.shape[k] for k in range(b.ndim) if k not in (i, j)]
+        assert c.shape == tuple(expected) + (len(bins) - 1,)
+
+
+def test_histogram_shape_correctness_4d():
+    """Value parity (not just shape) for axis subsets of a 4-D array."""
+    np.random.seed(10)
+    shape = (3, 4, 5, 6)
+    b = np.random.randn(*shape)
+    bins = np.linspace(-4, 4, 9)
+
+    # reduce axes (1, 3), keep (0, 2)
+    h, _ = histogram(b, bins=bins, axis=(1, 3))
+    h = np.asarray(h)
+    assert h.shape == (3, 5, len(bins) - 1)
+    for i in range(3):
+        for k in range(5):
+            expected = np.histogram(b[i, :, k, :], bins=bins)[0]
+            np.testing.assert_array_equal(h[i, k], expected)
+
+
+def test_traced_requires_array_bins():
+    """The jit analog of the reference's dask guard (core.py:377-381,
+    test_core.py:276-313): traced inputs + non-array bins → TypeError."""
+    import jax
+
+    data = np.random.randn(10)
+
+    @jax.jit
+    def f(x):
+        return histogram(x, bins=10)[0]
+
+    with pytest.raises(TypeError):
+        f(data)
+
+    # explicit edges work under jit
+    @jax.jit
+    def g(x):
+        return histogram(x, bins=bins_arr)[0]
+
+    np.testing.assert_array_equal(
+        np.asarray(g(data)), np.histogram(data, bins=bins_arr)[0]
+    )
+
+
+def test_histogram_results_datetime():
+    """Datetime data and edges (reference test_core.py:365-382)."""
+    data = np.arange(
+        np.datetime64("2000-06-01"), np.datetime64("2000-06-06")
+    ).astype("datetime64[ns]")
+    bins = np.array(
+        [
+            np.datetime64("1999-01-01"),
+            np.datetime64("2000-01-01"),
+            np.datetime64("2001-01-01"),
+        ],
+        dtype="datetime64[ns]",
+    )
+    h, _ = histogram(data, bins=bins)
+    expected = np.histogram(data.view("i8"), bins=bins.view("i8"))[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_int64_inputs_hit_int32_pipeline_safely():
+    data = np.array([1, 2, 2, 3, 100], dtype=np.int64)
+    bins = np.array([0, 2, 4, 101], dtype=np.int64)
+    h, _ = histogram(data, bins=bins)
+    np.testing.assert_array_equal(np.asarray(h), np.histogram(data, bins=bins)[0])
+
+
+def test_no_args_raises():
+    with pytest.raises(ValueError):
+        histogram(bins=10)

@@ -1,0 +1,154 @@
+"""Bin-edge specification handling (host-side / trace-time).
+
+Bin edges are *static* metadata for the TPU compute path: every kernel and the
+jit-compiled pipeline treat ``len(edges)`` as a static shape. Resolution of
+int/str bin specs (``bins=10``, ``bins="auto"``) requires concrete data, so it
+happens eagerly on the host with numpy — exactly as the reference resolves
+them via ``np.histogram_bin_edges`` (reference core.py:382-388). Traced (jit)
+or sharded inputs must supply explicit edge arrays, the direct analog of the
+reference's dask guard (reference core.py:377-381).
+
+Semantics contracts replicated from the reference:
+  - ``normalize_bins``  ~ ``_ensure_correctly_formatted_bins`` (core.py:37-48)
+  - ``normalize_range`` ~ ``_ensure_correctly_formatted_range`` (core.py:51-70)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+
+__all__ = [
+    "normalize_bins",
+    "normalize_range",
+    "resolve_bin_edges",
+    "is_traced",
+    "bin_centers",
+    "bin_widths",
+    "bin_areas",
+]
+
+
+def is_traced(x) -> bool:
+    """True if ``x`` is an abstract JAX tracer (inside jit/vmap/etc.)."""
+    import jax
+
+    return isinstance(x, jax.core.Tracer)
+
+
+def normalize_bins(bins, n_expected):
+    """Normalize a bins spec to a per-input list of length ``n_expected``.
+
+    Accepts an int, str, or 1-D array (applied to every input), or a list with
+    one entry per input. Raises ``ValueError`` on missing bins or a length
+    mismatch — the same contract as the reference (core.py:37-48).
+    """
+    if bins is None:
+        raise ValueError("bins must be provided")
+    if isinstance(bins, (int, str, np.ndarray)):
+        bins = n_expected * [bins]
+    if len(bins) == n_expected:
+        return list(bins)
+    raise ValueError("The number of bin definitions doesn't match the number of args")
+
+
+def normalize_range(range_, n_expected):
+    """Normalize a range spec to a per-input list of ``(lo, hi)`` or ``None``.
+
+    Same contract as the reference (core.py:51-70): a single ``(lo, hi)`` pair
+    is replicated per input; a list must have one pair per input.
+    """
+
+    def _iterable_nested(x):
+        return all(isinstance(i, Iterable) for i in x)
+
+    if range_ is None:
+        return n_expected * [None]
+    if (len(range_) == 2) and (not _iterable_nested(range_)):
+        return n_expected * [range_]
+    if len(range_) == n_expected:
+        if all(len(x) == 2 for x in range_):
+            return list(range_)
+        raise ValueError(
+            "range should be provided as (lower_range, upper_range). In the "
+            "case of multiple args, range should be a list of such tuples"
+        )
+    raise ValueError("The number of ranges doesn't match the number of args")
+
+
+def _view_datetime_as_int(x):
+    """View datetime64/timedelta64 numpy data as int64 (order-preserving).
+
+    JAX has no datetime dtype; binning only needs ordering, so datetime inputs
+    and edges are viewed as int64 on the way in (preserves the reference's
+    datetime support, test_core.py:365-382).
+    """
+    if isinstance(x, np.ndarray) and x.dtype.kind in "Mm":
+        return x.view("i8")
+    return x
+
+
+def resolve_bin_edges(arrays, bins, range_=None, weights=None):
+    """Resolve per-input bin specs to concrete 1-D numpy edge arrays.
+
+    ``arrays`` are the (already broadcast-compatible) inputs. Explicit edge
+    arrays pass through; int/str specs are resolved with
+    ``np.histogram_bin_edges`` on host copies of the data — which requires
+    concrete values, so traced inputs with non-array bins raise ``TypeError``
+    (the jit analog of the reference's dask guard, core.py:377-381).
+
+    Returns a list of numpy float/int edge arrays, one per input.
+    """
+    n = len(arrays)
+    bins = normalize_bins(bins, n)
+    ranges = normalize_range(range_, n)
+
+    any_traced = any(is_traced(a) for a in arrays) or (
+        weights is not None and is_traced(weights)
+    )
+    needs_data = [not isinstance(b, np.ndarray) for b in bins]
+    if any_traced and any(needs_data):
+        raise TypeError(
+            "When inputs are traced (inside jit/vmap) or sharded, bins must be "
+            "provided as numpy array(s) of edges: int/str bin specs require "
+            "concrete data values to resolve"
+        )
+
+    edges = []
+    for a, b, r in zip(arrays, bins, ranges):
+        if isinstance(b, np.ndarray):
+            edges.append(_view_datetime_as_int(np.asarray(b)))
+            continue
+        # Host-side resolution path: pull a concrete numpy copy of the data.
+        a_np = _view_datetime_as_int(np.asarray(a))
+        w_np = None
+        if weights is not None:
+            w_np = np.broadcast_to(np.asarray(weights), a_np.shape)
+        e = np.histogram_bin_edges(a_np, bins=b, range=r, weights=w_np)
+        edges.append(e)
+    return edges
+
+
+def bin_centers(edges):
+    """Midpoints of a 1-D edge array (reference xarray.py:179)."""
+    edges = np.asarray(edges)
+    return 0.5 * (edges[:-1] + edges[1:])
+
+
+def bin_widths(edges):
+    return np.diff(np.asarray(edges))
+
+
+def bin_areas(edges_list):
+    """N-dimensional bin areas as the outer product of per-input bin widths.
+
+    Mirrors the density normalization geometry of the reference
+    (core.py:447-454): 1 input → widths; 2 → outer product; N → open-grid
+    product.
+    """
+    widths = [bin_widths(e).astype(np.float64) for e in edges_list]
+    area = widths[0]
+    for w in widths[1:]:
+        area = area[..., None] * w
+    return area

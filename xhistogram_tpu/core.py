@@ -1,0 +1,235 @@
+"""Array API: axis-selective, weighted, density-normalizable joint histograms.
+
+``histogram`` reproduces the full public contract of the reference's
+``xhistogram.core.histogram`` (reference core.py:250-466) — N input arrays →
+N-D joint histogram, reduce over a chosen axis subset while preserving the
+rest, weights, density normalization with per-bystander-row totals, int/str/
+array bin specs — rebuilt TPU-first:
+
+  - the pipeline is a single jit-compiled, statically-shaped program
+    (axis sets and bin counts are static; each combination compiles once);
+  - digitize / joint-indexing / counting run as fused XLA ops or as the Pallas
+    TPU kernel (ops/pallas_hist.py), never as host loops;
+  - the reference's dask blockwise + tree-sum distribution (core.py:403-439)
+    is replaced by data sharding: call this function on sharded arrays under
+    jit (GSPMD inserts the psum) or use ``xhistogram_tpu.parallel`` for
+    explicit shard_map control.
+
+dtype rules: unweighted counts are int32 (TPU-native word size; the reference
+uses int64 — values are identical whenever counts < 2**31), weighted counts
+take the weights dtype (reference core.py:363), density results are floating.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bins as _bins_mod
+from .ops.bincount import bincount2d
+from .ops.digitize import digitize_edges, joint_bin_index
+from .utils.axes import canonicalize_2d, kept_shape, normalize_axis
+
+__all__ = ["histogram"]
+
+
+def _coerce_host(x):
+    """Host-side input coercion: datetime64 → int64 view (JAX has no datetime
+    dtype; ordering is all binning needs — preserves the reference's datetime
+    support, test_core.py:365-382)."""
+    if isinstance(x, np.ndarray) and x.dtype.kind in "Mm":
+        return x.view("i8")
+    if not hasattr(x, "dtype"):  # python scalars / lists
+        x = np.asarray(x)
+        if x.dtype.kind in "Mm":
+            x = x.view("i8")
+    return x
+
+
+def _order_preserving_int32(a_np, edges_np):
+    """Losslessly remap int64 data+edges to int32 for the device pipeline.
+
+    JAX runs with 32-bit ints on TPU; int64 inputs (e.g. datetime64 views,
+    reference test_core.py:365-382) may overflow. Binning only needs each
+    element's ordering *relative to the edges*, so when values don't fit in
+    int32 we remap: edge j → 2j+1, value v → 2·searchsorted_left(edges, v)
+    + (v == that edge). This preserves every <, ==, > relation between values
+    and edges exactly (host-side, exact int64 numpy arithmetic).
+    """
+    i32 = np.iinfo(np.int32)
+    vals = [edges_np]
+    if a_np.size:
+        vals.append(a_np)
+    lo = min(int(v.min()) for v in vals)
+    hi = max(int(v.max()) for v in vals)
+    if i32.min <= lo and hi <= i32.max:
+        return a_np.astype(np.int32), edges_np.astype(np.int32)
+    sl = np.searchsorted(edges_np, a_np, side="left")
+    in_range = sl < len(edges_np)
+    is_edge = np.zeros(a_np.shape, dtype=np.int64)
+    is_edge[in_range] = edges_np[sl[in_range]] == a_np[in_range]
+    a32 = (2 * sl + is_edge).astype(np.int32)
+    e32 = (2 * np.arange(len(edges_np)) + 1).astype(np.int32)
+    return a32, e32
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "axis",
+        "nbins",
+        "density",
+        "method",
+        "block_size",
+        "has_weights",
+    ),
+)
+def _histogram_impl(
+    arrays, weights, edges, *, axis, nbins, density, method, block_size, has_weights
+):
+    """Jitted pipeline on already-normalized inputs.
+
+    arrays : tuple of broadcast-identical jnp arrays (the N histogram inputs)
+    weights: broadcast-identical jnp array or None
+    edges  : tuple of 1-D jnp edge arrays (len(edges[i]) == nbins[i] + 1)
+    axis   : static tuple of reduced axes (or None = all)
+    nbins  : static tuple of per-input real bin counts
+    """
+    a0 = arrays[0]
+    kshape = kept_shape(a0.shape, axis)
+
+    # Canonical (kept_rows, reduce_cols) layout — reference core.py:211-229.
+    arrays_2d = [canonicalize_2d(a, axis) for a in arrays]
+    weights_2d = canonicalize_2d(weights, axis) if has_weights else None
+
+    # Digitize each input against its edges, fuse into one trimmed joint
+    # index with a trailing trash slot (reference core.py:157-192 semantics).
+    indices = [digitize_edges(a, e) for a, e in zip(arrays_2d, edges)]
+    g, n_slots = joint_bin_index(indices, nbins)
+
+    counts = bincount2d(
+        g, weights_2d, n_slots, method=method, block_size=block_size
+    )
+    counts = counts[:, :-1]  # drop the trash slot (== reference's [1:-1] trim)
+
+    h = counts.reshape(kshape + tuple(nbins))
+
+    if density:
+        # h = counts / bin_areas / per-bystander-row totals, so the density
+        # integrates to 1 independently per kept row (NaN rows normalize
+        # independently — reference core.py:444-462, issue #51).
+        n_inputs = len(arrays)
+        widths = [jnp.diff(e.astype(jnp.float32)) for e in edges]
+        area = widths[0]
+        for w in widths[1:]:
+            area = area[..., None] * w
+        bin_axes = tuple(range(-n_inputs, 0))
+        totals = h.sum(axis=bin_axes, keepdims=True)
+        h = h / area / totals
+
+    return h
+
+
+def histogram(
+    *args,
+    bins=None,
+    range=None,
+    axis=None,
+    weights=None,
+    density=False,
+    block_size="auto",
+    method="auto",
+):
+    """Histogram applied along specified axis / axes.
+
+    Drop-in TPU-native equivalent of ``xhistogram.core.histogram``
+    (reference core.py:250-466; see that docstring for the full parameter
+    semantics, replicated here):
+
+    Parameters
+    ----------
+    args : array_like (numpy or jax arrays)
+        N input arrays → N-dimensional joint histogram. Arrays are broadcast
+        against each other (and the weights).
+    bins : int, str, np.ndarray, or per-input list thereof
+        int/str specs are resolved host-side with ``np.histogram_bin_edges``
+        and therefore require concrete (non-traced) data — traced/sharded
+        inputs must pass explicit edge arrays (TypeError otherwise; the jit
+        analog of the reference's dask guard, core.py:377-381). With edge
+        arrays, all but the last bin are right-open; the last is closed.
+    range : (lo, hi) or per-input list thereof, optional
+    axis : None | int | tuple of int
+        Axes reduced by the histogram; the rest are preserved per-element.
+        ``None`` reduces everything.
+    weights : array_like, optional — broadcast against the inputs.
+    density : bool — normalize to a PDF per preserved-row (integral == 1).
+    block_size : int | 'auto' — streaming block for the one-hot strategy
+        (the TPU analog of the reference's memory-bounding block loop,
+        core.py:86-134).
+    method : 'auto' | 'scatter' | 'onehot' | 'sort' | 'pallas'
+        Counting strategy (see ops.bincount / ops.pallas_hist).
+
+    Returns
+    -------
+    hist : jax.Array — counts (int32), weighted sums (weights dtype), or
+        density (float).
+    bin_edges : list of np.ndarray (or the given arrays when traced).
+    """
+    if not args:
+        raise ValueError("histogram() requires at least one input array")
+    n_inputs = len(args)
+
+    args = [_coerce_host(a) for a in args]
+    if weights is not None:
+        weights = _coerce_host(weights)
+
+    # Host-side bin resolution (static metadata for the compiled pipeline).
+    edges_np = _bins_mod.resolve_bin_edges(args, bins, range, weights)
+    nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
+    for nb in nbins:
+        if nb < 1:
+            raise ValueError("each bins spec must define at least one bin")
+
+    # Wide-integer numpy inputs: remap to int32 order-preservingly (datetime
+    # support; JAX has no 64-bit path here under default TPU config).
+    edges_for_device = list(edges_np)
+    if not jax.config.read("jax_enable_x64"):
+        for i, a in enumerate(args):
+            if isinstance(a, np.ndarray) and a.dtype in (np.int64, np.uint64):
+                args[i], edges_for_device[i] = _order_preserving_int32(
+                    a, np.asarray(edges_np[i], dtype=a.dtype)
+                )
+
+    # Broadcast all inputs (+ weights) to one shape — reference core.py:366.
+    to_bcast = list(args) + ([weights] if weights is not None else [])
+    bcast = jnp.broadcast_arrays(*[jnp.asarray(a) for a in to_bcast])
+    if weights is not None:
+        weights_b = bcast[-1]
+        arrays_b = tuple(bcast[:-1])
+    else:
+        weights_b = None
+        arrays_b = tuple(bcast)
+
+    axis_t = normalize_axis(axis, arrays_b[0].ndim)
+
+    # Edges on device, matching each input's comparison dtype.
+    edges_dev = tuple(
+        jnp.asarray(e).astype(a.dtype) for e, a in zip(edges_for_device, arrays_b)
+    )
+
+    h = _histogram_impl(
+        arrays_b,
+        weights_b,
+        edges_dev,
+        axis=axis_t,
+        nbins=nbins,
+        density=bool(density),
+        method=method,
+        block_size=block_size,
+        has_weights=weights is not None,
+    )
+    return h, edges_np

@@ -1,0 +1,167 @@
+"""Row-vectorized bincount strategies (pure-XLA implementations).
+
+The innermost reduction of the whole library: given a canonical 2-D layout of
+flat joint-bin indices ``g`` with shape ``(M rows, C cols)`` and optional
+weights, produce per-row counts ``(M, n_slots)``. This is the TPU equivalent
+of the reference's offset-bincount trick (reference core.py:73-83) — but TPUs
+have no fast general scatter-add, so several reformulations are provided and
+auto-selected:
+
+  - ``scatter``: XLA scatter-add (``.at[].add``). General; performance is
+    backend-dependent. Exactly the reference algorithm's semantics.
+  - ``onehot``: one-hot compare + contraction, streamed over column blocks so
+    the ``(M, block, n_slots)`` one-hot stays small (the analog of the
+    reference's ``block_size`` memory bound, core.py:86-134). MXU-friendly;
+    best for small-to-medium ``n_slots``.
+  - ``sort``: per-row sort + bucket boundaries via searchsorted (weighted:
+    cumulative-sum differences). O(C log C) but fully vectorized and
+    deterministic; best for very large ``n_slots``.
+
+All strategies return bit-identical integer counts (unweighted) and are
+oracle-tested against ``np.bincount``/``np.histogramdd``. The Pallas TPU
+kernel (ops/pallas_hist.py) is a fourth, fused strategy selected upstream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "bincount2d",
+    "bincount2d_scatter",
+    "bincount2d_onehot",
+    "bincount2d_sort",
+    "METHODS",
+]
+
+# Soft cap on the (M, block, n_slots) one-hot temp, in elements. Plays the
+# role of the reference's _MAX_CHUNK_SIZE heuristic (core.py:114) but bounds
+# VMEM-resident intermediates instead of a host temp array.
+_ONEHOT_BUDGET = 4_000_000
+
+
+def _counts_dtype(weights):
+    return jnp.int32 if weights is None else weights.dtype
+
+
+def bincount2d_scatter(g, weights, n_slots):
+    """Scatter-add strategy: zeros(M*n_slots).at[offset-index].add(w).
+
+    Semantically the reference's ``_bincount_2d`` (core.py:73-83) with the row
+    offset fused; indices are in-bounds by construction.
+    """
+    m, c = g.shape
+    offset = g + (n_slots * jnp.arange(m, dtype=g.dtype))[:, None]
+    flat = offset.reshape(-1)
+    if weights is None:
+        out = jnp.zeros((m * n_slots,), jnp.int32).at[flat].add(
+            1, mode="promise_in_bounds"
+        )
+    else:
+        out = jnp.zeros((m * n_slots,), weights.dtype).at[flat].add(
+            weights.reshape(-1), mode="promise_in_bounds"
+        )
+    return out.reshape(m, n_slots)
+
+
+def _auto_block(m, c, n_slots, block_size):
+    if isinstance(block_size, int):
+        return max(1, min(block_size, c))
+    # 'auto' / None → bound the one-hot temp
+    return max(1, min(c, _ONEHOT_BUDGET // max(1, m * n_slots)))
+
+
+def bincount2d_onehot(g, weights, n_slots, block_size="auto"):
+    """One-hot contraction strategy, streamed over column blocks.
+
+    For each block of columns: ``onehot[m, b, n] = (g[m, b] == n)`` and
+    ``counts[m, n] += sum_b w[m, b] * onehot[m, b, n]`` — a contraction XLA
+    maps onto the MXU/VPU. Unweighted counts accumulate in int32 (exact).
+    """
+    m, c = g.shape
+    block = _auto_block(m, c, n_slots, block_size)
+    pad = (-c) % block
+    if pad:
+        # Padding elements are routed to a temporary extra slot and dropped.
+        g = jnp.pad(g, ((0, 0), (0, pad)), constant_values=n_slots)
+        if weights is not None:
+            weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        n_internal = n_slots + 1
+    else:
+        n_internal = n_slots
+    n_blocks = (c + pad) // block
+    dtype = _counts_dtype(weights)
+
+    slots = jnp.arange(n_internal, dtype=g.dtype)
+
+    def step(acc, args):
+        if weights is None:
+            (gb,) = args
+            oh = (gb[:, :, None] == slots).astype(jnp.int32)
+            acc = acc + oh.sum(axis=1)
+        else:
+            gb, wb = args
+            oh = (gb[:, :, None] == slots).astype(wb.dtype)
+            acc = acc + jnp.einsum(
+                "mb,mbn->mn", wb, oh, preferred_element_type=wb.dtype
+            )
+        return acc, None
+
+    g_blocks = g.reshape(m, n_blocks, block).transpose(1, 0, 2)
+    xs = (g_blocks,)
+    if weights is not None:
+        xs = (g_blocks, weights.reshape(m, n_blocks, block).transpose(1, 0, 2))
+    acc0 = jnp.zeros((m, n_internal), dtype)
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    return acc[:, :n_slots]
+
+
+def bincount2d_sort(g, weights, n_slots):
+    """Sort-based strategy: per-row sort, then bucket boundary differences.
+
+    ``counts[m, n] = pos(n+1) - pos(n)`` where ``pos(k)`` is the insertion
+    point of ``k`` in the sorted row (weighted: differences of the inclusive
+    weight prefix sum). Deterministic and O(C log C); the scalable choice for
+    huge ``n_slots`` where one-hot work (O(C·n_slots)) explodes.
+    """
+    m, c = g.shape
+    slots = jnp.arange(n_slots + 1, dtype=g.dtype)
+    if weights is None:
+        gs = jnp.sort(g, axis=1)
+        pos = jax.vmap(lambda row: jnp.searchsorted(row, slots, side="left"))(gs)
+        return jnp.diff(pos, axis=1).astype(jnp.int32)
+    gs, ws = jax.lax.sort_key_val(g, weights, dimension=1)
+    cw = jnp.concatenate(
+        [jnp.zeros((m, 1), weights.dtype), jnp.cumsum(ws, axis=1)], axis=1
+    )
+    pos = jax.vmap(lambda row: jnp.searchsorted(row, slots, side="left"))(gs)
+    bounds = jnp.take_along_axis(cw, pos, axis=1)
+    return jnp.diff(bounds, axis=1)
+
+
+METHODS = ("scatter", "onehot", "sort")
+
+
+def bincount2d(g, weights, n_slots, method="auto", block_size="auto"):
+    """Dispatch over bincount strategies (cf. reference ``_dispatch_bincount``,
+    core.py:126-134 — but dispatching on algorithm, not just blocking).
+
+    ``method='auto'`` picks by problem shape: one-hot work scales with
+    ``n_slots`` per element, sort with ``log C``; scatter is the safe default
+    on CPU where XLA scatter is fast.
+    """
+    if method == "auto":
+        backend = jax.default_backend()
+        if backend == "cpu":
+            method = "scatter"
+        else:
+            # On TPU: MXU one-hot for small slot counts, sort for huge ones.
+            method = "onehot" if n_slots <= 4096 else "sort"
+    if method == "scatter":
+        return bincount2d_scatter(g, weights, n_slots)
+    if method == "onehot":
+        return bincount2d_onehot(g, weights, n_slots, block_size=block_size)
+    if method == "sort":
+        return bincount2d_sort(g, weights, n_slots)
+    raise ValueError(f"unknown bincount method {method!r}; valid: {METHODS}")

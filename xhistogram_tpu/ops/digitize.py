@@ -1,0 +1,88 @@
+"""Digitize + joint-bin indexing (jnp reference implementations).
+
+Semantics contract (identical to reference core.py:157-192, verified by the
+oracle tests against numpy):
+
+  ``digitize_edges(a, edges)`` returns, per element, an index in
+  ``[0, len(edges)]`` with numpy-``searchsorted(side="right")`` semantics plus
+  the histogram right-edge fixup:
+
+    - 0              → a <  edges[0]            (below range)
+    - i              → edges[i-1] <= a < edges[i]
+    - len(edges)-1   → edges[-2]  <= a <= edges[-1]  (last bin closed)
+    - len(edges)     → a >  edges[-1] or NaN    (above range; trimmed later)
+
+  NaN routing is explicit: numpy's sort order places NaN last, so
+  ``np.searchsorted`` sends NaN to the overflow slot; a naive branchless
+  compare-sum would send it to 0 instead (SURVEY.md §7 "hard parts"), so we
+  ``where(isnan, overflow, ...)``.
+
+  ``joint_bin_index`` fuses the reference's out-of-range trim
+  (core.py:189-192) into the index computation: instead of counting into
+  ``prod(len(edges_i)+1)`` slots and slicing ``[1:-1]`` per axis afterwards, a
+  single trailing *trash slot* receives every element that is out of range (or
+  NaN) on any input, and the trash column is dropped after counting. The
+  surviving slot space is exactly the trimmed histogram, bit-identical to the
+  reference's trim.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+__all__ = ["digitize_edges", "joint_bin_index"]
+
+
+def digitize_edges(a, edges, dtype=jnp.int32):
+    """Vectorized searchsorted-right with last-bin-inclusive + NaN routing.
+
+    ``edges`` must be sorted ascending (same precondition as numpy/reference).
+    Works elementwise on any-shaped ``a``; returns ``dtype`` indices in
+    ``[0, len(edges)]``.
+    """
+    edges = jnp.asarray(edges)
+    n_edges = edges.shape[0]
+    idx = jnp.searchsorted(edges, a, side="right").astype(dtype)
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        # numpy sorts NaN after +inf → overflow slot (reference behavior:
+        # NaNs digitize to the top slot then get trimmed, SURVEY.md §2.1).
+        idx = jnp.where(jnp.isnan(a), jnp.asarray(n_edges, dtype), idx)
+    # Last bin is right-edge inclusive (reference core.py:163-174).
+    idx = jnp.where(a == edges[-1], idx - 1, idx)
+    return idx
+
+
+def joint_bin_index(indices, nbins):
+    """Combine per-input digitize indices into a flat *trimmed* joint index.
+
+    Parameters
+    ----------
+    indices : list of equally-shaped integer arrays in ``[0, len(edges_i)]``
+        (raw digitize output, per input).
+    nbins : list of int — number of *real* bins per input,
+        ``len(edges_i) - 1``.
+
+    Returns
+    -------
+    g : flat joint index in ``[0, n_slots)``, where the last slot
+        (``n_slots - 1``) is the trash slot for any out-of-range/NaN element.
+    n_slots : ``prod(nbins) + 1`` (static int).
+    """
+    assert len(indices) == len(nbins) and len(indices) >= 1
+    g = None
+    valid = None
+    for idx, nb in zip(indices, nbins):
+        t = idx - 1  # slot 1..nb maps to bin 0..nb-1
+        ok = (t >= 0) & (t <= nb - 1)
+        valid = ok if valid is None else (valid & ok)
+        t = jnp.clip(t, 0, nb - 1)
+        g = t if g is None else g * nb + t
+    n_real = math.prod(int(nb) for nb in nbins)
+    if n_real + 1 > jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            f"joint histogram has {n_real} bins, which overflows int32 indexing"
+        )
+    g = jnp.where(valid, g, n_real)
+    return g.astype(jnp.int32), n_real + 1

@@ -1,0 +1,160 @@
+"""Multi-chip histograms: sharded partial counts + mesh collectives.
+
+This module replaces the reference's entire distributed backend — dask
+``blockwise`` partial histograms tree-summed by the scheduler (reference
+core.py:403-439) — with the TPU-native design from SURVEY.md §2.2/§2.3:
+
+  1. each device computes the histogram of its local shard with the same
+     single-device kernel (embarrassingly parallel partials);
+  2. partial counts are combined with ``jax.lax.psum`` over the mesh axes
+     that shard *reduced* data axes (the tree-sum equivalent, riding ICI/DCN
+     instead of host TCP);
+  3. *kept* (bystander) data axes may stay sharded — the output inherits
+     their sharding, no gather needed.
+
+Two usage modes:
+  - implicit (GSPMD): call ``xhistogram_tpu.core.histogram`` under jit on
+    sharded arrays; XLA inserts the collectives. Good default.
+  - explicit (this module): ``histogram_sharded`` wraps the pipeline in
+    ``shard_map`` so the per-device kernel and the single ``psum`` are
+    guaranteed, independent of partitioner heuristics.
+
+Density normalization must happen *after* the psum (per-row totals are
+global) — handled here by deferring the density step to post-reduction,
+mirroring where the reference normalizes after the dask tree-sum
+(core.py:439-462).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import bins as _bins_mod
+from ..core import _histogram_impl
+from ..utils.axes import kept_shape, normalize_axis
+
+__all__ = ["histogram_sharded", "reduce_spec"]
+
+
+def reduce_spec(spec: P, axis, ndim):
+    """Split an input PartitionSpec into (kept-axes out spec, psum axis names).
+
+    Mesh axes appearing on *reduced* data axes become psum axes; mesh axes on
+    kept data axes survive into the output spec (bin axes are replicated).
+    """
+    axis = normalize_axis(axis, ndim)
+    entries = list(spec) + [None] * (ndim - len(spec))
+    psum_axes = []
+    out_entries = []
+    for i, entry in enumerate(entries):
+        if axis is None or i in axis:
+            if entry is not None:
+                names = entry if isinstance(entry, tuple) else (entry,)
+                psum_axes.extend(names)
+        else:
+            out_entries.append(entry)
+    return P(*out_entries), tuple(psum_axes)
+
+
+def histogram_sharded(
+    *args,
+    mesh: Mesh,
+    in_spec: P,
+    bins=None,
+    range=None,
+    axis=None,
+    weights=None,
+    density=False,
+    block_size="auto",
+    method="auto",
+):
+    """Explicitly sharded histogram over a device mesh.
+
+    All inputs (and weights) must share one shape and one ``in_spec`` laying
+    them out over ``mesh``. Each device histograms its local shard; a single
+    ``psum`` over the mesh axes that shard reduced data axes combines the
+    partials. Kept axes keep their sharding in the output.
+
+    Returns ``(hist, bin_edges_list)`` like the core API.
+    """
+    if not args:
+        raise ValueError("histogram_sharded() requires at least one input array")
+
+    edges_np = _bins_mod.resolve_bin_edges(args, bins, range, weights)
+    nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
+
+    arrays = [jnp.asarray(a) for a in args]
+    shape = arrays[0].shape
+    for a in arrays[1:]:
+        if a.shape != shape:
+            raise ValueError(
+                "histogram_sharded requires identically-shaped inputs; "
+                "broadcast before sharding"
+            )
+    if weights is not None:
+        weights = jnp.broadcast_to(jnp.asarray(weights), shape)
+
+    ndim = len(shape)
+    axis_t = normalize_axis(axis, ndim)
+    out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
+    kshape = kept_shape(shape, axis_t)
+    n_inputs = len(arrays)
+
+    edges_dev = tuple(
+        jnp.asarray(e).astype(a.dtype) for e, a in zip(edges_np, arrays)
+    )
+
+    # Local reduced axes indices must be remapped to the *local* shard view —
+    # shapes shrink but axis ids are unchanged under shard_map, so axis_t is
+    # reused as-is.
+    full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(in_spec for _ in arrays),
+            in_spec if weights is not None else P(),
+            tuple(P() for _ in edges_dev),
+        ),
+        out_specs=full_out_spec,
+    )
+    def _local(arrays_l, weights_l, edges_l):
+        counts = _histogram_impl(
+            arrays_l,
+            weights_l if weights is not None else None,
+            edges_l,
+            axis=axis_t,
+            nbins=nbins,
+            density=False,  # normalize only after the global reduction
+            method=method,
+            block_size=block_size,
+            has_weights=weights is not None,
+        )
+        if psum_axes:
+            counts = jax.lax.psum(counts, psum_axes)
+        return counts
+
+    h = _local(
+        tuple(arrays),
+        weights if weights is not None else jnp.zeros((), jnp.float32),
+        edges_dev,
+    )
+
+    if density:
+        widths = [jnp.diff(e.astype(jnp.float32)) for e in edges_dev]
+        area = widths[0]
+        for w in widths[1:]:
+            area = area[..., None] * w
+        bin_axes = tuple(np.arange(-n_inputs, 0))
+        totals = h.sum(axis=tuple(int(i) for i in bin_axes), keepdims=True)
+        h = h / area / totals
+
+    del kshape  # shape bookkeeping is implicit in out_specs
+    return h, edges_np
