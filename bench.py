@@ -1,0 +1,127 @@
+"""Headline benchmark: 1e9-element joint T-S histogram, GB/s per chip.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+The baseline is the reference algorithm (xgcm/xhistogram's numpy path:
+searchsorted + ravel_multi_index + bincount, reference core.py:73-186)
+measured on this host's CPU on a subsample and scaled linearly (the algorithm
+is O(n)); see BASELINE.md. "value" is the TPU throughput in GB of input
+consumed per second (two float32 arrays => 8 bytes per element-pair).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def reference_numpy_ts(t, s, t_edges, s_edges):
+    """The reference's exact numpy hot path (cited: reference core.py:73-83,
+    163-186): searchsorted-right with inclusive last edge, ravel to joint
+    bins, one flat bincount, trim the out-of-range slots."""
+    hist_shapes = [len(t_edges) + 1, len(s_edges) + 1]
+
+    def ss_inclusive(a, b):
+        idx = np.searchsorted(b, a, side="right")
+        idx[a == b[-1]] -= 1
+        return idx
+
+    it = ss_inclusive(t.ravel(), t_edges)
+    is_ = ss_inclusive(s.ravel(), s_edges)
+    flat = np.ravel_multi_index([it, is_], hist_shapes)
+    bc = np.bincount(flat, minlength=hist_shapes[0] * hist_shapes[1])
+    return bc.reshape(hist_shapes)[1:-1, 1:-1]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xhistogram_tpu.core import histogram
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+
+    # --- problem: watermass T-S diagram (BASELINE.md config 3) -------------
+    n_total = 1_000_000_000 if on_tpu else 10_000_000
+    nrows = 1000
+    ncols = n_total // nrows
+    t_edges = np.linspace(-2.0, 30.0, 281).astype(np.float32)   # 280 T bins
+    s_edges = np.linspace(30.0, 40.0, 341).astype(np.float32)   # 340 S bins
+
+    key = jax.random.PRNGKey(0)
+    kt, ks = jax.random.split(key)
+    T = 14.0 + 8.0 * jax.random.normal(kt, (nrows, ncols), jnp.float32)
+    S = 35.0 + 1.5 * jax.random.normal(ks, (nrows, ncols), jnp.float32)
+    T = jax.block_until_ready(T)
+    S = jax.block_until_ready(S)
+    bytes_per_run = T.size * 4 * 2
+
+    # --- pick the fastest method on a small slice, then run full -----------
+    slice_cols = max(1, ncols // 10)
+    Ts, Ss = T[:, :slice_cols], S[:, :slice_cols]
+    candidates = ["sort", "scatter", "onehot"]
+    best, best_dt = None, float("inf")
+    for m in candidates:
+        try:
+            f = lambda a, b: histogram(a, b, bins=[t_edges, s_edges], method=m)[0]
+            jax.block_until_ready(f(Ts, Ss))  # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(Ts, Ss))
+            dt = time.perf_counter() - t0
+            print(f"# probe {m}: {dt*1e3:.1f} ms on 1/10 slice", file=sys.stderr)
+            if dt < best_dt:
+                best, best_dt = m, dt
+        except Exception as e:  # noqa: BLE001
+            print(f"# probe {m} failed: {e}", file=sys.stderr)
+    assert best is not None, "no bincount method ran"
+
+    f = lambda a, b: histogram(a, b, bins=[t_edges, s_edges], method=best)[0]
+    h = jax.block_until_ready(f(T, S))  # compile at full size
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        h = f(T, S)
+    jax.block_until_ready(h)
+    dt = (time.perf_counter() - t0) / reps
+    gbps = bytes_per_run / dt / 1e9
+    print(f"# full run method={best}: {dt*1e3:.1f} ms, {gbps:.1f} GB/s",
+          file=sys.stderr)
+
+    # --- correctness vs numpy oracle on a slice ----------------------------
+    t_np = np.asarray(Ts, dtype=np.float32)
+    s_np = np.asarray(Ss, dtype=np.float32)
+    expected = reference_numpy_ts(t_np, s_np, t_edges, s_edges)
+    got = np.asarray(
+        histogram(Ts, Ss, bins=[t_edges, s_edges], method=best)[0]
+    )
+    parity = bool(np.array_equal(got, expected))
+    print(f"# count parity vs reference numpy path: {parity}", file=sys.stderr)
+
+    # --- baseline: reference numpy path on CPU, subsample × linear scale ---
+    nb = 10_000_000
+    tb, sb = t_np.ravel()[:nb], s_np.ravel()[:nb]
+    t0 = time.perf_counter()
+    reference_numpy_ts(tb, sb, t_edges, s_edges)
+    base_dt = time.perf_counter() - t0
+    base_gbps = nb * 8 / base_dt / 1e9
+    print(f"# baseline (reference numpy path, {nb:.0e} elems): "
+          f"{base_dt*1e3:.0f} ms → {base_gbps:.2f} GB/s", file=sys.stderr)
+
+    result = {
+        "metric": "joint_TS_histogram_1e9_elem_280x340_bins",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / base_gbps, 2),
+        "method": best,
+        "count_parity": parity,
+        "backend": backend,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

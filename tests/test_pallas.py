@@ -1,0 +1,89 @@
+"""Pallas kernel parity tests.
+
+On CPU the kernel runs in interpret mode (same code path as Mosaic up to
+compilation), checked against the numpy oracle and the XLA strategies —
+the parity contract from SURVEY.md §4.
+"""
+
+import numpy as np
+import pytest
+
+from xhistogram_tpu.core import histogram
+from xhistogram_tpu.ops.pallas_hist import pallas_histogram2d
+
+bins9 = np.linspace(-4, 4, 10)
+
+
+def test_kernel_direct_1d():
+    rng = np.random.RandomState(0)
+    data = rng.randn(3, 40).astype("f4")
+    import jax.numpy as jnp
+
+    counts = pallas_histogram2d(
+        [jnp.asarray(data)], [jnp.asarray(bins9, dtype=jnp.float32)], None, (9,)
+    )
+    assert counts.shape == (3, 10)
+    expected = np.stack([np.histogram(r, bins=bins9)[0] for r in data])
+    np.testing.assert_array_equal(np.asarray(counts)[:, :-1], expected)
+
+
+@pytest.mark.parametrize("add_nans", [False, True])
+@pytest.mark.parametrize("axis", [None, 1])
+def test_pallas_method_1d(add_nans, axis):
+    rng = np.random.RandomState(1)
+    data = rng.randn(5, 20).astype("f4")
+    if add_nans:
+        data.ravel()[rng.choice(data.size, 15, replace=False)] = np.nan
+    h, _ = histogram(data, bins=bins9, axis=axis, method="pallas")
+    if axis == 1:
+        expected = np.stack([np.histogram(r, bins=bins9)[0] for r in data])
+    else:
+        expected = np.histogram(data, bins=bins9)[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_pallas_right_edge_inclusive():
+    data = np.ones((4, 8), "f4")
+    bins = np.array([0, 0.5, 1], "f4")
+    h, _ = histogram(data, bins=bins, method="pallas")
+    np.testing.assert_array_equal(np.asarray(h), np.histogram(data, bins=bins)[0])
+
+
+def test_pallas_joint_2d():
+    rng = np.random.RandomState(2)
+    a = rng.randn(6, 30).astype("f4")
+    b = rng.randn(6, 30).astype("f4")
+    bins_a = np.linspace(-4, 4, 9)
+    bins_b = np.linspace(-4, 4, 12)
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], method="pallas")
+    expected, _, _ = np.histogram2d(a.ravel(), b.ravel(), bins=[bins_a, bins_b])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_pallas_weighted():
+    rng = np.random.RandomState(3)
+    data = rng.randn(4, 25).astype("f4")
+    w = rng.rand(4, 25).astype("f4")
+    h, _ = histogram(data, bins=bins9, axis=1, weights=w, method="pallas")
+    expected = np.stack(
+        [np.histogram(r, bins=bins9, weights=wr)[0] for r, wr in zip(data, w)]
+    )
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-6)
+
+
+def test_pallas_3input_joint():
+    rng = np.random.RandomState(4)
+    data = [rng.randn(2, 50).astype("f4") for _ in range(3)]
+    bins = [np.linspace(-4, 4, n + 1) for n in (5, 6, 7)]
+    h, _ = histogram(*data, bins=bins, method="pallas")
+    expected, _ = np.histogramdd([d.ravel() for d in data], bins=bins)
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_pallas_matches_other_methods():
+    rng = np.random.RandomState(5)
+    data = rng.randn(7, 33).astype("f4")
+    hp, _ = histogram(data, bins=bins9, axis=1, method="pallas")
+    for m in ("scatter", "onehot", "sort"):
+        hm, _ = histogram(data, bins=bins9, axis=1, method=m)
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(hm))

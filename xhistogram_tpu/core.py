@@ -103,17 +103,28 @@ def _histogram_impl(
     kshape = kept_shape(a0.shape, axis)
 
     # Canonical (kept_rows, reduce_cols) layout — reference core.py:211-229.
-    arrays_2d = [canonicalize_2d(a, axis) for a in arrays]
-    weights_2d = canonicalize_2d(weights, axis) if has_weights else None
+    with jax.named_scope("xhistogram.canonicalize"):
+        arrays_2d = [canonicalize_2d(a, axis) for a in arrays]
+        weights_2d = canonicalize_2d(weights, axis) if has_weights else None
 
-    # Digitize each input against its edges, fuse into one trimmed joint
-    # index with a trailing trash slot (reference core.py:157-192 semantics).
-    indices = [digitize_edges(a, e) for a, e in zip(arrays_2d, edges)]
-    g, n_slots = joint_bin_index(indices, nbins)
+    if method == "pallas":
+        # Fully fused native kernel: digitize + joint index + MXU counting in
+        # one pass over VMEM tiles (ops/pallas_hist.py).
+        from .ops.pallas_hist import pallas_histogram2d
 
-    counts = bincount2d(
-        g, weights_2d, n_slots, method=method, block_size=block_size
-    )
+        with jax.named_scope("xhistogram.pallas_kernel"):
+            counts = pallas_histogram2d(arrays_2d, edges, weights_2d, nbins)
+    else:
+        # XLA pipeline: digitize each input, fuse into one trimmed joint
+        # index with a trailing trash slot (reference core.py:157-192
+        # semantics), then count with the selected strategy.
+        with jax.named_scope("xhistogram.digitize"):
+            indices = [digitize_edges(a, e) for a, e in zip(arrays_2d, edges)]
+            g, n_slots = joint_bin_index(indices, nbins)
+        with jax.named_scope("xhistogram.bincount"):
+            counts = bincount2d(
+                g, weights_2d, n_slots, method=method, block_size=block_size
+            )
     counts = counts[:, :-1]  # drop the trash slot (== reference's [1:-1] trim)
 
     h = counts.reshape(kshape + tuple(nbins))
