@@ -130,6 +130,62 @@ def resolve_bin_edges(arrays, bins, range_=None, weights=None):
     return edges
 
 
+def edges_for_compare(edges, dtype):
+    """Exact device-comparison form of a bin-edge array: half-open intervals
+    in the data's dtype.
+
+    Histogram semantics are defined by comparisons of data values against the
+    (possibly wider-precision) edges: ``[e_k, e_{k+1})`` per bin, last bin
+    closed (reference core.py:163-174). For data of dtype D, those
+    wider-precision comparisons are *exactly* equivalent to D-native
+    comparisons against transformed edges:
+
+      - ``a >= e``  ⟺  ``a >= ceil_D(e)``  (smallest D value ≥ e)
+      - ``a < e``   ⟺  ``a < ceil_D(e)``
+      - ``a <= e_last`` (closed last bin)  ⟺  ``a < nextafter(floor_D(e_last))``
+
+    so the returned array encodes every bin as half-open over dtype-D edges,
+    with the closed last bin folded into an open upper bound — no equality
+    fixups needed downstream, and bit-exact parity with numpy's float64 edge
+    comparisons.
+    """
+    e = np.asarray(edges)
+    dtype = np.dtype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        out = e.astype(dtype)
+        if np.issubdtype(e.dtype, np.integer):
+            # ceil is exact for int→int (values must fit; int64 inputs are
+            # remapped order-preservingly upstream)
+            last = out[-1]
+            upper = last + 1 if last < np.iinfo(dtype).max else last
+            out = np.concatenate([out[:-1], [upper]]).astype(dtype)
+            return out
+        # float edges, int data: a >= e ⟺ a >= ceil(e)
+        lo = np.ceil(e[:-1]).astype(dtype)
+        upper = np.floor(e[-1]).astype(dtype)
+        upper = upper + 1 if upper < np.iinfo(dtype).max else upper
+        return np.concatenate([lo, [upper]]).astype(dtype)
+
+    # float data dtype
+    cast = e.astype(dtype)
+    wide = cast.astype(e.dtype) if e.dtype.itemsize > dtype.itemsize else cast
+    # ceil-cast: bump edges that rounded down by one ulp
+    bump = wide < e
+    ceil_cast = np.where(
+        bump, np.nextafter(cast, np.asarray(np.inf, dtype)), cast
+    ).astype(dtype)
+    # closed last bin → open upper bound at nextafter(floor_cast(e_last))
+    last_cast = e[-1:].astype(dtype)
+    last_wide = last_cast.astype(e.dtype)
+    floor_cast = np.where(
+        last_wide > e[-1:],
+        np.nextafter(last_cast, np.asarray(-np.inf, dtype)),
+        last_cast,
+    ).astype(dtype)
+    upper = np.nextafter(floor_cast, np.asarray(np.inf, dtype))
+    return np.concatenate([ceil_cast[:-1], upper]).astype(dtype)
+
+
 def bin_centers(edges):
     """Midpoints of a 1-D edge array (reference xarray.py:179)."""
     edges = np.asarray(edges)

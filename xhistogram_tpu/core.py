@@ -107,6 +107,15 @@ def _histogram_impl(
         arrays_2d = [canonicalize_2d(a, axis) for a in arrays]
         weights_2d = canonicalize_2d(weights, axis) if has_weights else None
 
+    if method == "auto" and jax.default_backend() == "tpu":
+        # On TPU the fused Pallas kernels beat every XLA strategy by 1-2
+        # orders of magnitude (measured; see BASELINE.md) — use them whenever
+        # the problem shape fits their VMEM envelopes.
+        from .ops.pallas_hist import supports as _pallas_supports
+
+        if _pallas_supports(len(arrays), nbins, arrays_2d[0].shape[0]):
+            method = "pallas"
+
     if method == "pallas":
         # Fully fused native kernel: digitize + joint index + MXU counting in
         # one pass over VMEM tiles (ops/pallas_hist.py).
@@ -227,9 +236,12 @@ def histogram(
 
     axis_t = normalize_axis(axis, arrays_b[0].ndim)
 
-    # Edges on device, matching each input's comparison dtype.
+    # Edges on device in exact half-open comparison form (bins.py): bit-exact
+    # equivalence with wider-precision edge comparisons, closed last bin
+    # folded into an open upper bound.
     edges_dev = tuple(
-        jnp.asarray(e).astype(a.dtype) for e, a in zip(edges_for_device, arrays_b)
+        jnp.asarray(_bins_mod.edges_for_compare(e, np.dtype(a.dtype)))
+        for e, a in zip(edges_for_device, arrays_b)
     )
 
     h = _histogram_impl(

@@ -36,11 +36,13 @@ __all__ = ["digitize_edges", "joint_bin_index"]
 
 
 def digitize_edges(a, edges, dtype=jnp.int32):
-    """Vectorized searchsorted-right with last-bin-inclusive + NaN routing.
+    """Vectorized searchsorted-right against *half-open comparison edges*.
 
-    ``edges`` must be sorted ascending (same precondition as numpy/reference).
-    Works elementwise on any-shaped ``a``; returns ``dtype`` indices in
-    ``[0, len(edges)]``.
+    ``edges`` must be sorted ascending and already in the half-open
+    comparison form produced by ``bins.edges_for_compare`` (the closed last
+    bin is encoded as an open upper bound, so no equality fixup is needed —
+    same final semantics as reference core.py:163-174). Works elementwise on
+    any-shaped ``a``; returns ``dtype`` indices in ``[0, len(edges)]``.
     """
     edges = jnp.asarray(edges)
     n_edges = edges.shape[0]
@@ -49,8 +51,6 @@ def digitize_edges(a, edges, dtype=jnp.int32):
         # numpy sorts NaN after +inf → overflow slot (reference behavior:
         # NaNs digitize to the top slot then get trimmed, SURVEY.md §2.1).
         idx = jnp.where(jnp.isnan(a), jnp.asarray(n_edges, dtype), idx)
-    # Last bin is right-edge inclusive (reference core.py:163-174).
-    idx = jnp.where(a == edges[-1], idx - 1, idx)
     return idx
 
 

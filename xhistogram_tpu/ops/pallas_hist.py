@@ -1,38 +1,47 @@
-"""Pallas TPU histogram kernel: fused digitize → joint index → MXU counting.
+"""Pallas TPU histogram kernels: fused digitize → joint index → MXU counting.
 
 This is the framework's native layer — the TPU equivalent of the numpy C
 kernels the reference reaches through ``searchsorted`` / ``ravel_multi_index``
-/ ``bincount`` (reference core.py:10-17, hot loop core.py:73-83,163-186). One
-kernel fuses the whole inner pipeline over VMEM-resident tiles so each input
-element is read from HBM exactly once:
+/ ``bincount`` (reference core.py:10-17, hot loop core.py:73-83,163-186).
+Each kernel fuses the whole inner pipeline over VMEM-resident tiles so every
+input element is read from HBM exactly once. TPUs have no fast scatter, so
+counting is reformulated as MXU matmuls over one-hot / cumulative compare
+matrices (every building-block op is empirically verified against Mosaic on
+this chip; see scripts/mosaic_probe.py).
 
-  1. **digitize** — branchless compare-sum against edge chunks broadcast on a
-     leading axis: ``idx = Σ_e (a >= edge_e)`` reproduces
-     ``searchsorted(side="right")``; the last bin's right edge is closed via
-     an explicit ``a == last_edge`` fixup, and NaNs fail every compare →
-     idx 0 → invalid (same final result as numpy's NaN→overflow→trimmed
-     routing).
-  2. **joint index** — per-input trimmed bins are fused into one flat slot id
-     with a trailing *trash* slot for out-of-range/NaN/padding elements
-     (replaces ``ravel_multi_index`` + the ``[1:-1]`` trim).
-  3. **count** — TPUs have no fast scatter, so counting is a matmul on the
-     MXU: ``counts(tm, chunk) += R(tm, E) ·ᵉ G(chunk, E)`` (contraction over
-     the tile's E elements on the minor dim of both operands), where ``R`` is
-     the row/weight one-hot and ``G`` the slot one-hot. One-hots are built
-     with rank-2 ``(N,1) == (1,E)`` broadcasts — no unsupported shape casts
-     (op support verified empirically per chip; see scripts/mosaic_probe.py).
-     Unweighted counts use bf16 one-hots with f32 MXU accumulation (exact:
-     per-tile partials ≤ E < 2²⁴) and accumulate in int32; weighted counts
-     keep an f32 weight one-hot and accumulate in f32.
+Three specializations, auto-dispatched by ``pallas_histogram2d``:
 
-The grid walks (row tiles, slot chunks, column tiles); the output block for a
-(row, slot-chunk) pair is revisited across column steps and accumulated
-in-place — the sequential TPU grid makes this deterministic (SURVEY.md §5
-race-detection note).
+``one_input`` (1 input, any number of kept rows)
+    Per-bin membership-row matrix ``A[k, e] = (lo_k <= a_e < hi_k)`` (last
+    bin right-closed via an equality term, matching reference
+    core.py:163-174); one matmul against the row/weight one-hot gives the
+    per-row counts directly. Work: O(n_bins) VPU ops/element, the MXU does
+    the reduction, no cumulative-difference cancellation in weighted mode.
+    NaN fails every compare → contributes nowhere (== reference's
+    NaN→overflow→trim).
 
-Slot-chunking bounds VMEM (the one-hot ``G`` is (slot_chunk, E)); the chunk
-size is the Pallas analog of the reference's ``block_size`` memory bound
-(core.py:86-134).
+``joint2`` (2 inputs, full reduction)
+    Factored one-hot matmul: ``counts(Na, Nb) = A(Na, E) ·ᵉ B(Nb, E)`` where
+    ``A``/``B`` are per-bin membership rows built from lo/hi edge compares.
+    One-hot construction is O(n_edges_a + n_edges_b) per element on the VPU;
+    the O(Na·Nb) joint work runs on the MXU at full utilization — no joint
+    slot-count cap.
+
+``direct`` (any input count; joint slots ≤ 8192)
+    Flat joint slot one-hot ``G(slot_chunk, E)`` against the row one-hot
+    ``R(tm, E)``; slot-chunked grid bounds VMEM (the Pallas analog of the
+    reference's ``block_size`` memory bound, core.py:86-134).
+
+Kept-row handling: when the canonical layout has fewer than 8 rows, rows are
+*split* into synthetic sub-rows (elements are exchangeable within a row's
+reduction) instead of padding to the f32 sublane minimum — no padded-row
+compute. The wrapper re-merges synthetic rows with one cheap sum.
+
+All accumulation is deterministic: the TPU grid is sequential, and the
+output block for a row/slot tile is revisited across column steps
+(SURVEY.md §5 determinism note). Unweighted counts use bf16 one-hots with
+f32 MXU accumulation (per-tile partials ≤ E < 2²⁴, exact) into int32 output;
+weighted counts keep f32 weights and accumulate f32.
 """
 
 from __future__ import annotations
@@ -49,42 +58,336 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_histogram2d", "supports"]
 
 _LANE = 128
+_SUB = 8  # f32 sublane tile
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def supports(n_slots, n_inputs, dtype) -> bool:
-    """Whether the direct one-hot kernel is the right tool for this shape."""
-    del n_inputs, dtype
-    return n_slots <= 8192
+def supports(n_inputs, nbins, m) -> bool:
+    """Whether a Pallas kernel handles this problem shape *efficiently*
+    (the dispatcher itself accepts anything; 'auto' uses this to decide
+    pallas vs the XLA sort strategy for huge joint grids)."""
+    n_real = math.prod(int(b) for b in nbins)
+    if n_inputs == 1:
+        return nbins[0] <= 1024 or n_real + 1 <= 8192
+    if n_inputs == 2 and m == 1:
+        # joint2: A/B compare matrices + counts tile must fit VMEM
+        if _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536:
+            return True
+    return n_real + 1 <= 8192
 
 
-def _pick_tiles(n_slots_pad):
-    """Tile geometry under a VMEM budget for the one-hot G (slot_chunk, E)."""
-    tm = 8
-    tc = 512
-    slot_chunk = min(n_slots_pad, 1024)
-    budget_elems = 1 << 20  # 4 MiB of f32
-    while tm * tc * slot_chunk > budget_elems and tc > _LANE:
+def _max_fill(dtype):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return np.asarray(np.inf, dtype)
+    return np.asarray(jnp.iinfo(dtype).max, dtype)
+
+
+def _edges_col(e, pad_to=_SUB):
+    """Edges as a (ne_pad, 1) VMEM column, padded with +max (no element ever
+    reaches the pad rows' bins)."""
+    e = jnp.asarray(e)
+    ne = e.shape[0]
+    ne_pad = _round_up(ne, pad_to)
+    e = jnp.pad(e, (0, ne_pad - ne), constant_values=_max_fill(e.dtype))
+    return e.reshape(ne_pad, 1), ne
+
+
+def _lo_hi_cols(e):
+    """(lo, hi) edge columns for per-bin membership rows: row k is bin k,
+    [lo_k, hi_k) — except the last bin, closed on the right (handled in the
+    kernel with an equality term against hi[nb-1]). Rows ≥ nbins compare
+    against +max → all zero. Traceable (edges may be jit tracers)."""
+    e = jnp.asarray(e)
+    nb = e.shape[0] - 1
+    nb_pad = _round_up(nb, _SUB)
+    fill = _max_fill(e.dtype)
+    lo = jnp.pad(e[:-1], (0, nb_pad - nb), constant_values=fill)
+    hi = jnp.pad(e[1:], (0, nb_pad - nb), constant_values=fill)
+    return lo.reshape(nb_pad, 1), hi.reshape(nb_pad, 1), nb, nb_pad
+
+
+def _fold_rows(arrays, weights, m, c):
+    """Split each real row into f synthetic sub-rows so the sublane dim is
+    filled with real work (no padded-row compute for small M).
+
+    Returns (arrays', weights', m_syn, c_syn, f). Caller merges counts with
+    ``counts.reshape(m, f, -1).sum(1)``.
+    """
+    if m >= _SUB or m == 0 or c == 0:
+        return arrays, weights, m, c, 1
+    f = _SUB // m
+    c_syn = -(-c // f)
+    pad = f * c_syn - c
+
+    def tr(a):
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(m * f, c_syn)
+
+    arrays = [tr(a) for a in arrays]
+    if weights is not None:
+        weights = tr(weights)
+    return arrays, weights, m * f, c_syn, f
+
+
+# ---------------------------------------------------------------------------
+# membership-row builder (shared by one_input / joint2 kernel bodies)
+# ---------------------------------------------------------------------------
+
+
+def _bin_rows(a_row, lo_col, hi_col, nb):
+    """(nb_pad, E) boolean matrix whose row k is the bin-k membership of the
+    E elements in ``a_row`` (1, E): [lo_k, hi_k) over *half-open comparison
+    edges* (bins.edges_for_compare — the closed last bin of reference
+    core.py:163-174 is already folded into hi's open upper bound)."""
+    del nb
+    return (a_row >= lo_col) & (a_row < hi_col)  # (nb_pad, E)
+
+
+# ---------------------------------------------------------------------------
+# one_input: single input, bin-membership rows + row matmul
+# ---------------------------------------------------------------------------
+
+
+def _one_input_kernel(
+    a_ref, w_ref, lo_ref, hi_ref, o_ref, *, nb, f, c_syn, c_real, weighted
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tm, tc = a_ref.shape
+    e_elems = tm * tc
+
+    a_row = a_ref[...].reshape(1, e_elems)
+
+    # All index vectors are built directly in (1, E) layout — reshaping a
+    # broadcasted iota is an unsupported Mosaic shape cast (replicated lane
+    # layout), while data reshapes are fine. tc is a power of two, so the
+    # flat→(row, col) split is shifts/masks.
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
+    local_row = e_ids // tc
+    local_col = e_ids - local_row * tc
+    # An element is real iff it lies inside the synthetic row width AND its
+    # position within its *real* row is < c_real. Synthetic sub-row s of a
+    # real row holds columns s%f * c_syn + col (f is a power of two; fold
+    # padding sits at the tail of each row's last sub-row).
+    sub = (i * tm + local_row) % f if f > 1 else 0
+    cols = j * tc + local_col
+    in_bounds = (cols < c_syn) & (sub * c_syn + cols < c_real)
+
+    oh_dtype = jnp.float32 if weighted else jnp.bfloat16
+    A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb).astype(oh_dtype)
+
+    m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    R = ((m_col == local_row) & in_bounds).astype(oh_dtype)
+    if weighted:
+        R = R * w_ref[...].reshape(1, e_elems)
+
+    counts = jax.lax.dot_general(
+        R, A, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if weighted else None,
+    )  # (tm, nb_pad) per-bin counts
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o_ref[...] += counts.astype(o_ref.dtype)
+
+
+def _run_one_input(a2d, w2d, edges, nbins):
+    m, c = a2d.shape
+    (a_list, w2d, m_syn, c_syn, f) = _fold_rows([a2d], w2d, m, c)
+    a2d = a_list[0]
+    lo, hi, nb, nb_pad = _lo_hi_cols(edges)
+
+    tm = _SUB
+    # A is (nb_pad, tm*tc); keep it + temps under the VMEM budget
+    budget = 6 << 20
+    tc = 2048
+    while tm * tc * nb_pad * 4 > budget and tc > _LANE:
         tc //= 2
-    while tm * tc * slot_chunk > budget_elems and slot_chunk > _LANE:
-        slot_chunk //= 2
-    return tm, tc, slot_chunk
+    m_pad = _round_up(max(m_syn, 1), tm)
+    c_pad = _round_up(max(c_syn, 1), tc)
+    a2d = jnp.pad(a2d, ((0, m_pad - m_syn), (0, c_pad - c_syn)))
+    weighted = w2d is not None
+    if weighted:
+        w2d = jnp.pad(
+            w2d.astype(jnp.float32), ((0, m_pad - m_syn), (0, c_pad - c_syn))
+        )
+    else:
+        w2d = jnp.zeros((tm, tc), jnp.float32)  # unused placeholder block
+
+    out_dtype = jnp.int32 if not weighted else jnp.float32
+    nb_out = _round_up(nb_pad, _LANE)
+    lo = jnp.pad(lo, ((0, nb_out - nb_pad), (0, 0)),
+                 constant_values=_max_fill(lo.dtype))
+    hi = jnp.pad(hi, ((0, nb_out - nb_pad), (0, 0)),
+                 constant_values=_max_fill(hi.dtype))
+
+    grid = (m_pad // tm, c_pad // tc)
+    fixed = lambda i, j: (0, 0)
+    counts = pl.pallas_call(
+        partial(
+            _one_input_kernel,
+            nb=nb, f=f, c_syn=c_syn, c_real=c, weighted=weighted,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tm, tc),
+                (lambda i, j: (i, j)) if weighted else fixed,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((nb_out, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_out, 1), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, nb_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, nb_out), out_dtype),
+        interpret=_interpret(),
+    )(a2d, w2d, lo, hi)
+
+    counts = counts[:m_syn]
+    if f > 1:
+        counts = counts.reshape(m, f, nb_out).sum(axis=1)
+    counts = counts[:, :nb]
+    # trailing trash column for caller-contract compatibility
+    trash = jnp.zeros((m, 1), counts.dtype)
+    return jnp.concatenate([counts, trash], axis=1)
 
 
-def _hist_kernel(
-    *refs,
-    n_inputs,
-    nbins,
-    n_edges,
-    m_true,
-    c_true,
-    slot_chunk,
+# ---------------------------------------------------------------------------
+# joint2: two inputs, full reduction, factored one-hot matmul
+# ---------------------------------------------------------------------------
+
+
+def _joint2_kernel(
+    a_ref, b_ref, w_ref,
+    alo_ref, ahi_ref, blo_ref, bhi_ref, o_ref,
+    *, nba, nbb, c_true, weighted,
+):
+    j = pl.program_id(0)
+    tm, tc = a_ref.shape
+    e_elems = tm * tc
+
+    a_row = a_ref[...].reshape(1, e_elems)
+    b_row = b_ref[...].reshape(1, e_elems)
+
+    # The (1, C) stream is laid out as (rows, tc) blocks of contiguous
+    # elements; flat position = block_offset + e. Masks are built directly
+    # in (1, E) layout (iota reshapes are unsupported Mosaic shape casts).
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
+    ok_row = (j * e_elems + e_ids) < c_true
+
+    oh = jnp.float32 if weighted else jnp.bfloat16
+    A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba)
+    A = (A & ok_row).astype(oh)
+    if weighted:
+        A = A * w_ref[...].reshape(1, e_elems)
+    B = _bin_rows(b_row, blo_ref[...], bhi_ref[...], nbb).astype(oh)
+
+    counts = jax.lax.dot_general(
+        A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if weighted else None,
+    )  # (nba_pad, nbb_pad)
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o_ref[...] += counts.astype(o_ref.dtype)
+
+
+def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
+    m, c = a2d.shape
+    assert m == 1
+    alo, ahi, nba, nba_pad = _lo_hi_cols(edges_a)
+    blo, bhi, nbb, nbb_pad = _lo_hi_cols(edges_b)
+
+    tm = _SUB
+    # keep A+B+temps under the VMEM budget: bytes ≈ 4·(nba+nbb)·E
+    budget = 6 << 20
+    tc = 512
+    while tm * tc * (nba_pad + nbb_pad) * 4 > budget and tc > _LANE:
+        tc //= 2
+    block = tm * tc
+    n_blocks = -(-c // block)
+    c_pad = n_blocks * block
+
+    def stream(x):
+        x = jnp.pad(x.reshape(-1), (0, c_pad - c))
+        return x.reshape(n_blocks * tm, tc)
+
+    a2d = stream(a2d)
+    b2d = stream(b2d)
+    weighted = w2d is not None
+    if weighted:
+        w = stream(w2d.astype(jnp.float32))
+    else:
+        w = jnp.zeros((tm, tc), jnp.float32)
+
+    out_dtype = jnp.int32 if not weighted else jnp.float32
+    nba_out = _round_up(nba_pad, _SUB)
+    nbb_out = _round_up(nbb_pad, _LANE)
+    alo = jnp.pad(alo, ((0, nba_out - nba_pad), (0, 0)),
+                  constant_values=_max_fill(alo.dtype))
+    ahi = jnp.pad(ahi, ((0, nba_out - nba_pad), (0, 0)),
+                  constant_values=_max_fill(ahi.dtype))
+    blo = jnp.pad(blo, ((0, nbb_out - nbb_pad), (0, 0)),
+                  constant_values=_max_fill(blo.dtype))
+    bhi = jnp.pad(bhi, ((0, nbb_out - nbb_pad), (0, 0)),
+                  constant_values=_max_fill(bhi.dtype))
+
+    grid = (n_blocks,)
+    fixed = lambda j: (0, 0)
+    counts = pl.pallas_call(
+        partial(
+            _joint2_kernel,
+            nba=nba, nbb=nbb, c_true=c, weighted=weighted,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tc), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tc), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tm, tc),
+                (lambda j: (j, 0)) if weighted else (lambda j: (0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((nba_out, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nba_out, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbb_out, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbb_out, 1), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nba_out, nbb_out), lambda j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nba_out, nbb_out), out_dtype),
+        interpret=_interpret(),
+    )(a2d, b2d, w, alo, ahi, blo, bhi)
+
+    # flatten (nba, nbb) joint counts to the flat-slot contract + trash col
+    flat = counts[:nba, :nbb].reshape(1, nba * nbb)
+    trash = jnp.zeros((1, 1), flat.dtype)
+    return jnp.concatenate([flat, trash], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# direct: general flat-slot one-hot kernel (3+ inputs / kept rows + joint)
+# ---------------------------------------------------------------------------
+
+
+def _direct_kernel(
+    *refs, n_inputs, nbins, m_true, f, c_syn, c_real, slot_chunk,
     weighted,
 ):
-    """Kernel body. refs = [in_0..in_{k-1}, (weights?), edge_0..edge_{k-1}, out]."""
     data_refs = refs[:n_inputs]
     pos = n_inputs
     w_ref = None
@@ -101,58 +404,57 @@ def _hist_kernel(
     tm, tc = data_refs[0].shape
     e_elems = tm * tc
 
-    # --- masks for padded rows/cols ---------------------------------------
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
-    in_bounds = (i * tm + row_ids < m_true) & (j * tc + col_ids < c_true)
+    # Index/mask vectors are built directly in (1, E) layout — reshaping a
+    # broadcasted iota is an unsupported Mosaic shape cast; only data-derived
+    # arrays get reshaped. tc is a power of two.
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
+    local_row = e_ids // tc
+    local_col = e_ids - local_row * tc
+    sub = (i * tm + local_row) % f if f > 1 else 0
+    cols = j * tc + local_col
+    in_bounds = (
+        (i * tm + local_row < m_true)
+        & (cols < c_syn)
+        & (sub * c_syn + cols < c_real)
+    )
 
-    # --- fused digitize + joint trimmed index ------------------------------
     g = None
     valid = in_bounds
     for k in range(n_inputs):
         a = data_refs[k][...]
-        edges = edge_refs[k]  # (n_edges_pad, 1) column, padded with +max
-        ne = n_edges[k]
+        edges = edge_refs[k]  # (ne_pad, 1) column, padded with +max
         ne_pad = edges.shape[0]
-        # branchless searchsorted(side='right'): count edges <= a, with the
-        # edge chunk broadcast on a leading axis (rank-3, leading-axis sum).
+        # branchless searchsorted-right over pre-transformed half-open edges
+        # (no inclusive-last-bin fixup needed; bins.edges_for_compare)
         idx = jnp.zeros((tm, tc), jnp.int32)
-        for e0 in range(0, ne_pad, _LANE):
-            chunk = edges[e0 : e0 + _LANE, :]  # (LANE, 1)
-            cmp = a[None, :, :] >= chunk[:, :, None]  # (LANE, tm, tc)
+        for e0 in range(0, ne_pad, _SUB):
+            chunk = edges[e0 : e0 + _SUB, :]  # (_SUB, 1)
+            cmp = a[None, :, :] >= chunk[:, :, None]  # (_SUB, tm, tc)
             idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
-        last_edge = edges[ne - 1, 0]
-        idx = jnp.where(a == last_edge, idx - 1, idx)  # closed last bin
-        t = idx - 1
+        t = (idx - 1).reshape(1, e_elems)  # data-derived reshape
         ok = (t >= 0) & (t <= nbins[k] - 1)
         valid = valid & ok
         t = jnp.clip(t, 0, nbins[k] - 1)
         g = t if g is None else g * nbins[k] + t
     n_real = math.prod(nbins)
-    g = jnp.where(valid, g, n_real)  # trash slot
+    g = jnp.where(valid, g, n_real)  # (1, E)
 
-    # --- one-hot matmul counting -------------------------------------------
     oh_dtype = jnp.float32 if weighted else jnp.bfloat16
-
-    g_row = g.reshape(1, e_elems)  # (tm,tc)->(1,E): supported shape cast
-    slot_base = n * slot_chunk
-    slot_col = slot_base + jax.lax.broadcasted_iota(
+    slot_col = n * slot_chunk + jax.lax.broadcasted_iota(
         jnp.int32, (slot_chunk, 1), 0
     )
-    G = (slot_col == g_row).astype(oh_dtype)  # (slot_chunk, E)
+    G = (slot_col == g).astype(oh_dtype)
 
-    row_flat = row_ids.reshape(1, e_elems)
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
-    R = (m_col == row_flat).astype(oh_dtype)  # (tm, E)
+    R = (m_col == local_row).astype(oh_dtype)
     if weighted:
         R = R * w_ref[...].reshape(1, e_elems)
 
     counts = jax.lax.dot_general(
-        R,
-        G,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        R, G, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (tm, slot_chunk)
+        precision=jax.lax.Precision.HIGHEST if weighted else None,
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -161,101 +463,119 @@ def _hist_kernel(
     out_ref[...] += counts.astype(out_ref.dtype)
 
 
-def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, interpret=None):
-    """Fused Pallas histogram over the canonical 2-D layout.
+def _pick_tiles_direct(n_slots_pad):
+    tm = _SUB
+    tc = 512
+    slot_chunk = min(n_slots_pad, 1024)
+    budget_elems = 1 << 20  # ~4 MiB of f32 for G
+    while tm * tc * slot_chunk > budget_elems and tc > _LANE:
+        tc //= 2
+    while tm * tc * slot_chunk > budget_elems and slot_chunk > _LANE:
+        slot_chunk //= 2
+    return tm, tc, slot_chunk
 
-    Parameters
-    ----------
-    arrays_2d : list of (M, C) arrays (one per histogram input, equal shapes)
-    edges : list of 1-D edge arrays (dtype matching each input)
-    weights_2d : (M, C) array or None
-    nbins : static tuple, real bin count per input (len(edges_i) - 1)
 
-    Returns
-    -------
-    counts : (M, prod(nbins) + 1) — trailing slot is the trash slot, to be
-        dropped by the caller (same contract as ops.bincount strategies after
-        ``joint_bin_index``).
-    """
+def _run_direct(arrays_2d, edges, weights_2d, nbins):
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
     n_slots_pad = _round_up(n_slots, _LANE)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
-    tm, tc, slot_chunk = _pick_tiles(n_slots_pad)
-    m_pad = _round_up(max(m, 1), tm)
-    c_pad = _round_up(max(c, 1), tc)
+    arrays_2d, weights_2d, m_syn, c_syn, f = _fold_rows(
+        list(arrays_2d), weights_2d, m, c
+    )
+
+    tm, tc, slot_chunk = _pick_tiles_direct(n_slots_pad)
+    m_pad = _round_up(max(m_syn, 1), tm)
+    c_pad = _round_up(max(c_syn, 1), tc)
     n_chunks = -(-n_slots_pad // slot_chunk)
-    n_slots_pad = n_chunks * slot_chunk  # keep chunks uniform
+    n_slots_pad = n_chunks * slot_chunk
 
     weighted = weights_2d is not None
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    if weighted:
-        weights_2d = weights_2d.astype(jnp.float32)
 
-    padded_inputs = []
-    for a in arrays_2d:
-        padded_inputs.append(jnp.pad(a, ((0, m_pad - m), (0, c_pad - c))))
+    padded = [
+        jnp.pad(a, ((0, m_pad - m_syn), (0, c_pad - c_syn))) for a in arrays_2d
+    ]
     if weighted:
-        w = jnp.pad(weights_2d, ((0, m_pad - m), (0, c_pad - c)))
+        w = jnp.pad(
+            weights_2d.astype(jnp.float32),
+            ((0, m_pad - m_syn), (0, c_pad - c_syn)),
+        )
 
     edge_ops = []
-    n_edges = []
     for e in edges:
-        e = jnp.asarray(e)
-        ne = e.shape[0]
-        n_edges.append(ne)
-        ne_pad = _round_up(ne, _LANE)
-        if jnp.issubdtype(e.dtype, jnp.floating):
-            fill = jnp.array(jnp.inf, e.dtype)
-        else:
-            fill = jnp.array(jnp.iinfo(e.dtype).max, e.dtype)
-        e = jnp.pad(e, (0, ne_pad - ne), constant_values=fill)
-        edge_ops.append(e.reshape(ne_pad, 1))
+        col, _ = _edges_col(e, pad_to=_SUB)
+        edge_ops.append(col)
 
     grid = (m_pad // tm, n_chunks, c_pad // tc)
-
     in_specs = [
         pl.BlockSpec((tm, tc), lambda i, n, j: (i, j), memory_space=pltpu.VMEM)
         for _ in range(n_inputs)
     ]
-    operands = list(padded_inputs)
+    operands = list(padded)
     if weighted:
         in_specs.append(
             pl.BlockSpec((tm, tc), lambda i, n, j: (i, j), memory_space=pltpu.VMEM)
         )
         operands.append(w)
-    for e in edge_ops:
+    for col in edge_ops:
         in_specs.append(
-            pl.BlockSpec(e.shape, lambda i, n, j: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(col.shape, lambda i, n, j: (0, 0), memory_space=pltpu.VMEM)
         )
-        operands.append(e)
-
-    kernel = partial(
-        _hist_kernel,
-        n_inputs=n_inputs,
-        nbins=tuple(int(b) for b in nbins),
-        n_edges=tuple(n_edges),
-        m_true=m,
-        c_true=c,
-        slot_chunk=slot_chunk,
-        weighted=weighted,
-    )
+        operands.append(col)
 
     counts = pl.pallas_call(
-        kernel,
+        partial(
+            _direct_kernel,
+            n_inputs=n_inputs,
+            nbins=tuple(int(b) for b in nbins),
+            m_true=m_syn,
+            f=f,
+            c_syn=c_syn,
+            c_real=c,
+            slot_chunk=slot_chunk,
+            weighted=weighted,
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tm, slot_chunk), lambda i, n, j: (i, n), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_slots_pad), out_dtype),
-        interpret=interpret,
+        interpret=_interpret(),
     )(*operands)
 
-    if not weighted:
-        counts = counts.astype(jnp.int32)
-    return counts[:m, :n_slots]
+    counts = counts[:m_syn]
+    if f > 1:
+        counts = counts.reshape(m, f, n_slots_pad).sum(axis=1)
+    return counts[:, :n_slots]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins):
+    """Fused Pallas histogram over the canonical (M rows, C cols) layout.
+
+    Returns ``counts (M, prod(nbins) + 1)`` — trailing trash slot dropped by
+    the caller (same contract as the ops.bincount strategies).
+    """
+    n_inputs = len(arrays_2d)
+    m, c = arrays_2d[0].shape
+    if n_inputs == 1 and nbins[0] <= 1024:
+        return _run_one_input(arrays_2d[0], weights_2d, edges[0], nbins)
+    if (
+        n_inputs == 2
+        and m == 1
+        and _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536
+    ):
+        return _run_joint2(
+            arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
+        )
+    return _run_direct(arrays_2d, edges, weights_2d, nbins)

@@ -106,8 +106,10 @@ def histogram_sharded(
     kshape = kept_shape(shape, axis_t)
     n_inputs = len(arrays)
 
+    # Exact half-open comparison form (see bins.edges_for_compare).
     edges_dev = tuple(
-        jnp.asarray(e).astype(a.dtype) for e, a in zip(edges_np, arrays)
+        jnp.asarray(_bins_mod.edges_for_compare(e, np.dtype(a.dtype)))
+        for e, a in zip(edges_np, arrays)
     )
 
     # Local reduced axes indices must be remapped to the *local* shard view —
