@@ -45,8 +45,10 @@ def main():
     on_tpu = backend == "tpu"
 
     # --- problem: watermass T-S diagram (BASELINE.md config 3) -------------
-    n_total = 1_000_000_000 if on_tpu else 10_000_000
-    nrows = 1000
+    # 2**30 ≈ 1.07e9 elements: 4096-aligned so the kernel's element-stream
+    # reshape is copy-free (no 4GB pad transient on a 16GB chip).
+    n_total = 1 << 30 if on_tpu else 10_000_000
+    nrows = 1024 if on_tpu else 1000
     ncols = n_total // nrows
     t_edges = np.linspace(-2.0, 30.0, 281).astype(np.float32)   # 280 T bins
     s_edges = np.linspace(30.0, 40.0, 341).astype(np.float32)   # 340 S bins
@@ -59,38 +61,26 @@ def main():
     S = jax.block_until_ready(S)
     bytes_per_run = T.size * 4 * 2
 
-    # --- pick the fastest method on a small slice, then run full -----------
-    slice_cols = max(1, ncols // 10)
-    Ts, Ss = T[:, :slice_cols], S[:, :slice_cols]
-    candidates = ["sort", "scatter", "onehot"]
-    best, best_dt = None, float("inf")
-    for m in candidates:
-        try:
-            f = lambda a, b: histogram(a, b, bins=[t_edges, s_edges], method=m)[0]
-            jax.block_until_ready(f(Ts, Ss))  # compile
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(Ts, Ss))
-            dt = time.perf_counter() - t0
-            print(f"# probe {m}: {dt*1e3:.1f} ms on 1/10 slice", file=sys.stderr)
-            if dt < best_dt:
-                best, best_dt = m, dt
-        except Exception as e:  # noqa: BLE001
-            print(f"# probe {m} failed: {e}", file=sys.stderr)
-    assert best is not None, "no bincount method ran"
-
+    # --- run the designed path (fused Pallas joint2 kernel on TPU) ---------
+    # NOTE: timing forces a host transfer of the (small) result —
+    # block_until_ready does not reliably wait under the axon remote backend.
+    best = "pallas" if on_tpu else "scatter"
     f = lambda a, b: histogram(a, b, bins=[t_edges, s_edges], method=best)[0]
-    h = jax.block_until_ready(f(T, S))  # compile at full size
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        h = f(T, S)
-    jax.block_until_ready(h)
-    dt = (time.perf_counter() - t0) / reps
+    np.asarray(f(T, S))  # compile at full size + settle
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(f(T, S))
+        times.append(time.perf_counter() - t0)
+    print(f"# per-rep ms: {[round(t*1e3, 1) for t in times]}", file=sys.stderr)
+    dt = float(np.median(times))
     gbps = bytes_per_run / dt / 1e9
     print(f"# full run method={best}: {dt*1e3:.1f} ms, {gbps:.1f} GB/s",
           file=sys.stderr)
 
     # --- correctness vs numpy oracle on a slice ----------------------------
+    slice_cols = max(1, ncols // 16)
+    Ts, Ss = T[:, :slice_cols], S[:, :slice_cols]
     t_np = np.asarray(Ts, dtype=np.float32)
     s_np = np.asarray(Ss, dtype=np.float32)
     expected = reference_numpy_ts(t_np, s_np, t_edges, s_edges)

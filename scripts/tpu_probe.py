@@ -40,14 +40,18 @@ e3 = np.histogramdd([d.ravel() for d in c3], bins=b3)[0]
 print("direct 3-input       correct:", np.array_equal(np.asarray(h), e3))
 
 # --- perf --------------------------------------------------------------------
-def bench(tag, f, *args, nbytes, reps=3):
-    jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
+def bench(tag, f, *args, nbytes, reps=4):
+    # block_until_ready does not reliably wait under the axon remote backend;
+    # a host transfer of the (small) result does.
+    np.asarray(f(*args))  # compile + settle
+    times = []
     for _ in range(reps):
-        r = f(*args)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"bench {tag:28s} {dt*1e3:9.2f} ms  {nbytes/dt/1e9:8.1f} GB/s")
+        t0 = time.perf_counter()
+        np.asarray(f(*args))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"bench {tag:28s} {dt*1e3:9.2f} ms  {nbytes/dt/1e9:8.1f} GB/s"
+          f"   reps={[round(t*1e3,1) for t in times]}")
 
 N = 400_000_000  # 1.6 GB f32
 x = jax.random.normal(jax.random.PRNGKey(0), (N,), jnp.float32)

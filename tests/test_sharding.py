@@ -135,3 +135,20 @@ def test_all_sharding_layouts_1d(layout):
     mesh = mesh2d()
     h, _ = histogram_sharded(data, mesh=mesh, in_spec=layout, bins=bins)
     np.testing.assert_array_equal(np.asarray(h), np.histogram(data, bins=bins)[0])
+
+
+@pytest.mark.parametrize("method", ["pallas", "scatter"])
+def test_sharded_with_pallas_kernel(method):
+    """The full multichip composition: per-device Pallas kernel inside
+    shard_map + psum (the production TPU path)."""
+    rng = np.random.RandomState(6)
+    T = rng.randn(8, 512).astype("f4")
+    S = rng.randn(8, 512).astype("f4")
+    ba = np.linspace(-4, 4, 29)
+    bb = np.linspace(-4, 4, 37)
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        T, S, mesh=mesh, in_spec=P("x", "y"), bins=[ba, bb], method=method
+    )
+    expected = np.histogram2d(T.ravel(), S.ravel(), bins=[ba, bb])[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)

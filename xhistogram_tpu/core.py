@@ -32,7 +32,12 @@ import numpy as np
 from . import bins as _bins_mod
 from .ops.bincount import bincount2d
 from .ops.digitize import digitize_edges, joint_bin_index
-from .utils.axes import canonicalize_2d, kept_shape, normalize_axis
+from .utils.axes import (
+    canonicalize_2d,
+    flatten_keep_minor,
+    kept_shape,
+    normalize_axis,
+)
 
 __all__ = ["histogram"]
 
@@ -107,22 +112,39 @@ def _histogram_impl(
         arrays_2d = [canonicalize_2d(a, axis) for a in arrays]
         weights_2d = canonicalize_2d(weights, axis) if has_weights else None
 
+    full_reduce = kshape == ()
+
     if method == "auto" and jax.default_backend() == "tpu":
         # On TPU the fused Pallas kernels beat every XLA strategy by 1-2
         # orders of magnitude (measured; see BASELINE.md) — use them whenever
         # the problem shape fits their VMEM envelopes.
         from .ops.pallas_hist import supports as _pallas_supports
 
-        if _pallas_supports(len(arrays), nbins, arrays_2d[0].shape[0]):
+        m_eff = 1 if full_reduce else arrays_2d[0].shape[0]
+        if _pallas_supports(len(arrays), nbins, m_eff):
             method = "pallas"
 
     if method == "pallas":
         # Fully fused native kernel: digitize + joint index + MXU counting in
-        # one pass over VMEM tiles (ops/pallas_hist.py).
+        # one pass over VMEM tiles (ops/pallas_hist.py). For full reductions
+        # the inputs keep a minor-dim-preserving natural 2-D view — flattening
+        # to (1, size) would force a real HBM retiling copy, since pallas
+        # operands are materialized buffers.
         from .ops.pallas_hist import pallas_histogram2d
 
         with jax.named_scope("xhistogram.pallas_kernel"):
-            counts = pallas_histogram2d(arrays_2d, edges, weights_2d, nbins)
+            if full_reduce:
+                counts = pallas_histogram2d(
+                    [flatten_keep_minor(a) for a in arrays],
+                    edges,
+                    flatten_keep_minor(weights) if has_weights else None,
+                    nbins,
+                    reduce_all=True,
+                )
+            else:
+                counts = pallas_histogram2d(
+                    arrays_2d, edges, weights_2d, nbins
+                )
     else:
         # XLA pipeline: digitize each input, fuse into one trimmed joint
         # index with a trailing trash slot (reference core.py:157-192

@@ -109,6 +109,14 @@ def _lo_hi_cols(e):
     return lo.reshape(nb_pad, 1), hi.reshape(nb_pad, 1), nb, nb_pad
 
 
+def _pad2d(x, rows, cols):
+    """jnp.pad only when needed — a zero-width pad can still materialize a
+    copy of a multi-GB pallas operand."""
+    if rows == 0 and cols == 0:
+        return x
+    return jnp.pad(x, ((0, rows), (0, cols)))
+
+
 def _fold_rows(arrays, weights, m, c):
     """Split each real row into f synthetic sub-rows so the sublane dim is
     filled with real work (no padded-row compute for small M).
@@ -153,7 +161,8 @@ def _bin_rows(a_row, lo_col, hi_col, nb):
 
 
 def _one_input_kernel(
-    a_ref, w_ref, lo_ref, hi_ref, o_ref, *, nb, f, c_syn, c_real, weighted
+    a_ref, w_ref, lo_ref, hi_ref, o_ref,
+    *, nb, f, m_true, c_syn, c_real, weighted, reduce_all,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -169,13 +178,18 @@ def _one_input_kernel(
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
     local_row = e_ids // tc
     local_col = e_ids - local_row * tc
-    # An element is real iff it lies inside the synthetic row width AND its
-    # position within its *real* row is < c_real. Synthetic sub-row s of a
-    # real row holds columns s%f * c_syn + col (f is a power of two; fold
-    # padding sits at the tail of each row's last sub-row).
+    # An element is real iff its row is real, it lies inside the synthetic
+    # row width, and its position within its *real* row is < c_real.
+    # Synthetic sub-row s of a real row holds columns s%f * c_syn + col
+    # (f is a power of two; fold padding sits at the tail of each row's last
+    # sub-row).
     sub = (i * tm + local_row) % f if f > 1 else 0
     cols = j * tc + local_col
-    in_bounds = (cols < c_syn) & (sub * c_syn + cols < c_real)
+    in_bounds = (
+        (i * tm + local_row < m_true)
+        & (cols < c_syn)
+        & (sub * c_syn + cols < c_real)
+    )
 
     oh_dtype = jnp.float32 if weighted else jnp.bfloat16
     A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb).astype(oh_dtype)
@@ -189,19 +203,32 @@ def _one_input_kernel(
         R, A, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if weighted else None,
-    )  # (tm, nb_pad) per-bin counts
+    )  # (tm, nb_pad) per-bin counts (per sublane-partial when reduce_all)
 
-    @pl.when(j == 0)
-    def _init():
-        o_ref[...] = jnp.zeros_like(o_ref)
+    if reduce_all:
+        # single output block accumulated over the whole grid; the tm
+        # sublane partials are merged by the wrapper
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
+    else:
+        @pl.when(j == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
 
     o_ref[...] += counts.astype(o_ref.dtype)
 
 
-def _run_one_input(a2d, w2d, edges, nbins):
+def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     m, c = a2d.shape
-    (a_list, w2d, m_syn, c_syn, f) = _fold_rows([a2d], w2d, m, c)
-    a2d = a_list[0]
+    if reduce_all:
+        # (m, c) is an arbitrary minor-dim-preserving 2-D view of the element
+        # set — no fold, no host reshape (pallas operands are materialized
+        # buffers, so input reshapes are real HBM copies; masks do the rest)
+        m_syn, c_syn, f = m, c, 1
+    else:
+        (a_list, w2d, m_syn, c_syn, f) = _fold_rows([a2d], w2d, m, c)
+        a2d = a_list[0]
     lo, hi, nb, nb_pad = _lo_hi_cols(edges)
 
     tm = _SUB
@@ -212,12 +239,10 @@ def _run_one_input(a2d, w2d, edges, nbins):
         tc //= 2
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
-    a2d = jnp.pad(a2d, ((0, m_pad - m_syn), (0, c_pad - c_syn)))
+    a2d = _pad2d(a2d, m_pad - m_syn, c_pad - c_syn)
     weighted = w2d is not None
     if weighted:
-        w2d = jnp.pad(
-            w2d.astype(jnp.float32), ((0, m_pad - m_syn), (0, c_pad - c_syn))
-        )
+        w2d = _pad2d(w2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
     else:
         w2d = jnp.zeros((tm, tc), jnp.float32)  # unused placeholder block
 
@@ -230,10 +255,12 @@ def _run_one_input(a2d, w2d, edges, nbins):
 
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
+    out_rows = tm if reduce_all else m_pad
     counts = pl.pallas_call(
         partial(
             _one_input_kernel,
-            nb=nb, f=f, c_syn=c_syn, c_real=c, weighted=weighted,
+            nb=nb, f=f, m_true=m_syn, c_syn=c_syn, c_real=c,
+            weighted=weighted, reduce_all=reduce_all,
         ),
         grid=grid,
         in_specs=[
@@ -247,15 +274,21 @@ def _run_one_input(a2d, w2d, edges, nbins):
             pl.BlockSpec((nb_out, 1), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tm, nb_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (tm, nb_out),
+            fixed if reduce_all else (lambda i, j: (i, 0)),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((m_pad, nb_out), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((out_rows, nb_out), out_dtype),
         interpret=_interpret(),
     )(a2d, w2d, lo, hi)
 
-    counts = counts[:m_syn]
-    if f > 1:
-        counts = counts.reshape(m, f, nb_out).sum(axis=1)
+    if reduce_all:
+        counts = counts.sum(axis=0, keepdims=True)  # merge sublane partials
+        m = 1
+    else:
+        counts = counts[:m_syn]
+        if f > 1:
+            counts = counts.reshape(m, f, nb_out).sum(axis=1)
     counts = counts[:, :nb]
     # trailing trash column for caller-contract compatibility
     trash = jnp.zeros((m, 1), counts.dtype)
@@ -270,20 +303,24 @@ def _run_one_input(a2d, w2d, edges, nbins):
 def _joint2_kernel(
     a_ref, b_ref, w_ref,
     alo_ref, ahi_ref, blo_ref, bhi_ref, o_ref,
-    *, nba, nbb, c_true, weighted,
+    *, nba, nbb, m_true, c_true, weighted,
 ):
-    j = pl.program_id(0)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     tm, tc = a_ref.shape
     e_elems = tm * tc
 
     a_row = a_ref[...].reshape(1, e_elems)
     b_row = b_ref[...].reshape(1, e_elems)
 
-    # The (1, C) stream is laid out as (rows, tc) blocks of contiguous
-    # elements; flat position = block_offset + e. Masks are built directly
-    # in (1, E) layout (iota reshapes are unsupported Mosaic shape casts).
+    # The operands keep their natural (rows, cols) layout (pallas inputs are
+    # materialized buffers — a host-side flatten would be a full HBM copy);
+    # masks are rectangular, built directly in (1, E) layout (iota reshapes
+    # are unsupported Mosaic shape casts). tc is a power of two.
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
-    ok_row = (j * e_elems + e_ids) < c_true
+    local_row = e_ids // tc
+    local_col = e_ids - local_row * tc
+    ok_row = (i * tm + local_row < m_true) & (j * tc + local_col < c_true)
 
     oh = jnp.float32 if weighted else jnp.bfloat16
     A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba)
@@ -298,7 +335,7 @@ def _joint2_kernel(
         precision=jax.lax.Precision.HIGHEST if weighted else None,
     )  # (nba_pad, nbb_pad)
 
-    @pl.when(j == 0)
+    @pl.when((i == 0) & (j == 0))
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
@@ -306,8 +343,10 @@ def _joint2_kernel(
 
 
 def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
+    # full-reduction joint histogram over an arbitrary 2-D element set —
+    # operands keep their natural shape, only tail padding (no-op when the
+    # shape is tile-aligned)
     m, c = a2d.shape
-    assert m == 1
     alo, ahi, nba, nba_pad = _lo_hi_cols(edges_a)
     blo, bhi, nbb, nbb_pad = _lo_hi_cols(edges_b)
 
@@ -317,19 +356,17 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     tc = 512
     while tm * tc * (nba_pad + nbb_pad) * 4 > budget and tc > _LANE:
         tc //= 2
-    block = tm * tc
-    n_blocks = -(-c // block)
-    c_pad = n_blocks * block
+    m_pad = _round_up(max(m, 1), tm)
+    c_pad = _round_up(max(c, 1), tc)
 
-    def stream(x):
-        x = jnp.pad(x.reshape(-1), (0, c_pad - c))
-        return x.reshape(n_blocks * tm, tc)
+    def padded(x):
+        return _pad2d(x, m_pad - m, c_pad - c)
 
-    a2d = stream(a2d)
-    b2d = stream(b2d)
+    a2d = padded(a2d)
+    b2d = padded(b2d)
     weighted = w2d is not None
     if weighted:
-        w = stream(w2d.astype(jnp.float32))
+        w = padded(w2d.astype(jnp.float32))
     else:
         w = jnp.zeros((tm, tc), jnp.float32)
 
@@ -345,20 +382,20 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     bhi = jnp.pad(bhi, ((0, nbb_out - nbb_pad), (0, 0)),
                   constant_values=_max_fill(bhi.dtype))
 
-    grid = (n_blocks,)
-    fixed = lambda j: (0, 0)
+    grid = (m_pad // tm, c_pad // tc)
+    fixed = lambda i, j: (0, 0)
+    moving = lambda i, j: (i, j)
     counts = pl.pallas_call(
         partial(
             _joint2_kernel,
-            nba=nba, nbb=nbb, c_true=c, weighted=weighted,
+            nba=nba, nbb=nbb, m_true=m, c_true=c, weighted=weighted,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, tc), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tc), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tm, tc),
-                (lambda j: (j, 0)) if weighted else (lambda j: (0, 0)),
+                (tm, tc), moving if weighted else fixed,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((nba_out, 1), fixed, memory_space=pltpu.VMEM),
@@ -367,7 +404,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
             pl.BlockSpec((nbb_out, 1), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nba_out, nbb_out), lambda j: (0, 0), memory_space=pltpu.VMEM
+            (nba_out, nbb_out), fixed, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nba_out, nbb_out), out_dtype),
         interpret=_interpret(),
@@ -496,13 +533,10 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
     out_dtype = jnp.int32 if not weighted else jnp.float32
 
     padded = [
-        jnp.pad(a, ((0, m_pad - m_syn), (0, c_pad - c_syn))) for a in arrays_2d
+        _pad2d(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d
     ]
     if weighted:
-        w = jnp.pad(
-            weights_2d.astype(jnp.float32),
-            ((0, m_pad - m_syn), (0, c_pad - c_syn)),
-        )
+        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
 
     edge_ops = []
     for e in edges:
@@ -560,22 +594,37 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins):
-    """Fused Pallas histogram over the canonical (M rows, C cols) layout.
+def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False):
+    """Fused Pallas histogram over a 2-D layout.
+
+    With ``reduce_all=False`` the layout is the canonical (kept rows, reduce
+    cols). With ``reduce_all=True`` the 2-D shape is an arbitrary
+    minor-dim-preserving view of the full element set (zero host reshapes —
+    pallas operands are materialized buffers, so a flatten would be a real
+    HBM copy) and the result has one logical row.
 
     Returns ``counts (M, prod(nbins) + 1)`` — trailing trash slot dropped by
     the caller (same contract as the ops.bincount strategies).
     """
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
+    reduce_all = reduce_all or m == 1
     if n_inputs == 1 and nbins[0] <= 1024:
-        return _run_one_input(arrays_2d[0], weights_2d, edges[0], nbins)
+        return _run_one_input(
+            arrays_2d[0], weights_2d, edges[0], nbins, reduce_all
+        )
     if (
         n_inputs == 2
-        and m == 1
+        and reduce_all
         and _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536
     ):
         return _run_joint2(
             arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
         )
+    if reduce_all and m > 1:
+        # direct kernel expects the canonical layout; collapse rows (XLA may
+        # copy, but this path is rare: 3+ inputs or huge 2-input grids)
+        arrays_2d = [a.reshape(1, -1) for a in arrays_2d]
+        if weights_2d is not None:
+            weights_2d = weights_2d.reshape(1, -1)
     return _run_direct(arrays_2d, edges, weights_2d, nbins)

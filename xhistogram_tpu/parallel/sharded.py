@@ -126,6 +126,9 @@ def histogram_sharded(
             tuple(P() for _ in edges_dev),
         ),
         out_specs=full_out_spec,
+        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
+        # VMA check (the psum below establishes the replication explicitly)
+        check_vma=False,
     )
     def _local(arrays_l, weights_l, edges_l):
         counts = _histogram_impl(

@@ -49,6 +49,17 @@ def kept_shape(shape, axis):
     return tuple(s for i, s in enumerate(shape) if i not in axis)
 
 
+def flatten_keep_minor(a):
+    """2-D view of all elements that preserves the minor (last) dimension.
+
+    Merging leading dims keeps the tiled device layout intact, so — unlike a
+    flatten to ``(1, size)`` — this is copy-free even when the result feeds a
+    Pallas kernel (whose operands are materialized buffers)."""
+    if a.ndim >= 2:
+        return a.reshape(-1, a.shape[-1])
+    return a.reshape(1, max(a.size, 0))
+
+
 def canonicalize_2d(a, axis):
     """Reshape ``a`` to ``(n_kept_rows, n_reduce_cols)``.
 
