@@ -53,34 +53,41 @@ def main():
     t_edges = np.linspace(-2.0, 30.0, 281).astype(np.float32)   # 280 T bins
     s_edges = np.linspace(30.0, 40.0, 341).astype(np.float32)   # 340 S bins
 
-    key = jax.random.PRNGKey(0)
-    kt, ks = jax.random.split(key)
-    T = 14.0 + 8.0 * jax.random.normal(kt, (nrows, ncols), jnp.float32)
-    S = 35.0 + 1.5 * jax.random.normal(ks, (nrows, ncols), jnp.float32)
-    T = jax.block_until_ready(T)
-    S = jax.block_until_ready(S)
-    bytes_per_run = T.size * 4 * 2
+    bytes_per_run = nrows * ncols * 4 * 2
+    best = "pallas" if on_tpu else "scatter"
 
-    # --- run the designed path (fused Pallas joint2 kernel on TPU) ---------
+    # Input generation is fused into the timed program: the runtime stages
+    # device buffers for custom-call operands, so two externally-held 4.3 GB
+    # inputs plus their staging would exceed HBM; generated-in-program data
+    # keeps peak memory at ~1x. The reported GB/s therefore *includes* the
+    # RNG+transform cost (conservative for the histogram kernel itself).
+    @jax.jit
+    def gen_and_hist(key):
+        kt, ks = jax.random.split(key)
+        T = 14.0 + 8.0 * jax.random.normal(kt, (nrows, ncols), jnp.float32)
+        S = 35.0 + 1.5 * jax.random.normal(ks, (nrows, ncols), jnp.float32)
+        return histogram(T, S, bins=[t_edges, s_edges], method=best)[0]
+
+    key = jax.random.PRNGKey(0)
     # NOTE: timing forces a host transfer of the (small) result —
     # block_until_ready does not reliably wait under the axon remote backend.
-    best = "pallas" if on_tpu else "scatter"
-    f = lambda a, b: histogram(a, b, bins=[t_edges, s_edges], method=best)[0]
-    np.asarray(f(T, S))  # compile at full size + settle
+    np.asarray(gen_and_hist(key))  # compile + settle
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        np.asarray(f(T, S))
+        np.asarray(gen_and_hist(key))
         times.append(time.perf_counter() - t0)
     print(f"# per-rep ms: {[round(t*1e3, 1) for t in times]}", file=sys.stderr)
     dt = float(np.median(times))
     gbps = bytes_per_run / dt / 1e9
-    print(f"# full run method={best}: {dt*1e3:.1f} ms, {gbps:.1f} GB/s",
-          file=sys.stderr)
+    print(f"# full run method={best}: {dt*1e3:.1f} ms, {gbps:.1f} GB/s "
+          f"(incl. on-device data generation)", file=sys.stderr)
 
     # --- correctness vs numpy oracle on a slice ----------------------------
-    slice_cols = max(1, ncols // 16)
-    Ts, Ss = T[:, :slice_cols], S[:, :slice_cols]
+    slice_cols = max(1, min(ncols, 16384))
+    kt, ks = jax.random.split(key)
+    Ts = 14.0 + 8.0 * jax.random.normal(kt, (nrows, slice_cols), jnp.float32)
+    Ss = 35.0 + 1.5 * jax.random.normal(ks, (nrows, slice_cols), jnp.float32)
     t_np = np.asarray(Ts, dtype=np.float32)
     s_np = np.asarray(Ss, dtype=np.float32)
     expected = reference_numpy_ts(t_np, s_np, t_edges, s_edges)
@@ -93,9 +100,11 @@ def main():
     # --- baseline: reference numpy path on CPU, subsample × linear scale ---
     nb = 10_000_000
     tb, sb = t_np.ravel()[:nb], s_np.ravel()[:nb]
-    t0 = time.perf_counter()
-    reference_numpy_ts(tb, sb, t_edges, s_edges)
-    base_dt = time.perf_counter() - t0
+    base_dt = float("inf")
+    for _ in range(3):  # best-of-3: conservative (fastest) baseline
+        t0 = time.perf_counter()
+        reference_numpy_ts(tb, sb, t_edges, s_edges)
+        base_dt = min(base_dt, time.perf_counter() - t0)
     base_gbps = nb * 8 / base_dt / 1e9
     print(f"# baseline (reference numpy path, {nb:.0e} elems): "
           f"{base_dt*1e3:.0f} ms → {base_gbps:.2f} GB/s", file=sys.stderr)
