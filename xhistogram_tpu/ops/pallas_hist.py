@@ -60,6 +60,14 @@ __all__ = ["pallas_histogram2d", "supports"]
 _LANE = 128
 _SUB = 8  # f32 sublane tile
 
+# VMEM working-set budget (bytes) for the per-tile one-hot matrices; larger
+# tiles amortize grid-step overhead, smaller ones fit more kernels. Tuned
+# on-chip (scripts/tile_sweep.py); env-overridable for sweeps.
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("XHIST_VMEM_BUDGET", 24 << 20))
+_MAX_TC = int(_os.environ.get("XHIST_MAX_TC", 8192))
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -141,6 +149,15 @@ def _fold_rows(arrays, weights, m, c):
     return arrays, weights, m * f, c_syn, f
 
 
+def _cum_col(e, out_rows):
+    """Full transformed-edge column (ne_pad→out_rows, 1) for cumulative
+    compare rows, padded with +max."""
+    e = jnp.asarray(e)
+    ne = e.shape[0]
+    col = jnp.pad(e, (0, out_rows - ne), constant_values=_max_fill(e.dtype))
+    return col.reshape(out_rows, 1), ne
+
+
 # ---------------------------------------------------------------------------
 # membership-row builder (shared by one_input / joint2 kernel bodies)
 # ---------------------------------------------------------------------------
@@ -192,7 +209,14 @@ def _one_input_kernel(
     )
 
     oh_dtype = jnp.float32 if weighted else jnp.bfloat16
-    A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb).astype(oh_dtype)
+    if weighted:
+        # bin-membership rows: direct per-bin sums, no cumulative-difference
+        # cancellation for float weights
+        A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb).astype(oh_dtype)
+    else:
+        # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
+        # per-bin counts are exact integer differences, taken by the wrapper
+        A = (a_row >= lo_ref[...]).astype(oh_dtype)
 
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     R = ((m_col == local_row) & in_bounds).astype(oh_dtype)
@@ -203,7 +227,7 @@ def _one_input_kernel(
         R, A, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if weighted else None,
-    )  # (tm, nb_pad) per-bin counts (per sublane-partial when reduce_all)
+    )  # (tm, rows_pad) per-bin / cumulative counts
 
     if reduce_all:
         # single output block accumulated over the whole grid; the tm
@@ -220,23 +244,32 @@ def _one_input_kernel(
 
 
 def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
+    # (m, c) is the canonical layout, or (reduce_all) an arbitrary
+    # minor-dim-preserving 2-D view of the element set. Small-m inputs are
+    # folded into synthetic sub-rows either way — one reshape copy beats the
+    # 8x row-padding copy a (1, C) pallas operand would need.
     m, c = a2d.shape
-    if reduce_all:
-        # (m, c) is an arbitrary minor-dim-preserving 2-D view of the element
-        # set — no fold, no host reshape (pallas operands are materialized
-        # buffers, so input reshapes are real HBM copies; masks do the rest)
-        m_syn, c_syn, f = m, c, 1
+    (a_list, w2d, m_syn, c_syn, f) = _fold_rows([a2d], w2d, m, c)
+    a2d = a_list[0]
+    weighted_mode = w2d is not None
+    if weighted_mode:
+        lo, hi, nb, rows_pad = _lo_hi_cols(edges)
     else:
-        (a_list, w2d, m_syn, c_syn, f) = _fold_rows([a2d], w2d, m, c)
-        a2d = a_list[0]
-    lo, hi, nb, nb_pad = _lo_hi_cols(edges)
+        nb = int(jnp.asarray(edges).shape[0]) - 1
+        rows_pad = _round_up(nb + 1, _SUB)
+        lo, _ = _cum_col(edges, rows_pad)
+        hi = lo  # unused in cumulative mode
 
     tm = _SUB
-    # A is (nb_pad, tm*tc); keep it + temps under the VMEM budget
-    budget = 6 << 20
-    tc = 2048
-    while tm * tc * nb_pad * 4 > budget and tc > _LANE:
+    # A is (rows_pad, tm*tc); keep it + temps under the VMEM budget
+    # (weighted mode holds f32 matrices — 2x bf16 — so it gets 1/3 budget to
+    # stay inside the ~16 MB scoped-vmem limit with temps)
+    budget = _VMEM_BUDGET if not weighted_mode else _VMEM_BUDGET // 3
+    tc = _MAX_TC
+    while tm * tc * rows_pad * 4 > budget and tc > _LANE:
         tc //= 2
+    while tc > _LANE and tc >= 2 * max(c_syn, 1):
+        tc //= 2  # don't pad columns beyond the (folded) row width
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
     a2d = _pad2d(a2d, m_pad - m_syn, c_pad - c_syn)
@@ -247,10 +280,10 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         w2d = jnp.zeros((tm, tc), jnp.float32)  # unused placeholder block
 
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    nb_out = _round_up(nb_pad, _LANE)
-    lo = jnp.pad(lo, ((0, nb_out - nb_pad), (0, 0)),
+    nb_out = _round_up(rows_pad, _LANE)
+    lo = jnp.pad(lo, ((0, nb_out - rows_pad), (0, 0)),
                  constant_values=_max_fill(lo.dtype))
-    hi = jnp.pad(hi, ((0, nb_out - nb_pad), (0, 0)),
+    hi = jnp.pad(hi, ((0, nb_out - rows_pad), (0, 0)),
                  constant_values=_max_fill(hi.dtype))
 
     grid = (m_pad // tm, c_pad // tc)
@@ -289,7 +322,11 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         counts = counts[:m_syn]
         if f > 1:
             counts = counts.reshape(m, f, nb_out).sum(axis=1)
-    counts = counts[:, :nb]
+    if weighted_mode:
+        counts = counts[:, :nb]
+    else:
+        # cumulative → per-bin: exact integer differences of edge counts
+        counts = counts[:, :nb] - counts[:, 1 : nb + 1]
     # trailing trash column for caller-contract compatibility
     trash = jnp.zeros((m, 1), counts.dtype)
     return jnp.concatenate([counts, trash], axis=1)
@@ -303,7 +340,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
 def _joint2_kernel(
     a_ref, b_ref, w_ref,
     alo_ref, ahi_ref, blo_ref, bhi_ref, o_ref,
-    *, nba, nbb, m_true, c_true, weighted,
+    *, nba, nbb, m_true, f, c_syn, c_real, weighted,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -315,19 +352,31 @@ def _joint2_kernel(
 
     # The operands keep their natural (rows, cols) layout (pallas inputs are
     # materialized buffers — a host-side flatten would be a full HBM copy);
-    # masks are rectangular, built directly in (1, E) layout (iota reshapes
-    # are unsupported Mosaic shape casts). tc is a power of two.
+    # masks are built directly in (1, E) layout (iota reshapes are
+    # unsupported Mosaic shape casts). tc is a power of two. Fold-mask
+    # semantics are as in _one_input_kernel.
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
     local_row = e_ids // tc
     local_col = e_ids - local_row * tc
-    ok_row = (i * tm + local_row < m_true) & (j * tc + local_col < c_true)
+    sub = (i * tm + local_row) % f if f > 1 else 0
+    cols = j * tc + local_col
+    ok_row = (
+        (i * tm + local_row < m_true)
+        & (cols < c_syn)
+        & (sub * c_syn + cols < c_real)
+    )
 
     oh = jnp.float32 if weighted else jnp.bfloat16
-    A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba)
-    A = (A & ok_row).astype(oh)
     if weighted:
-        A = A * w_ref[...].reshape(1, e_elems)
-    B = _bin_rows(b_row, blo_ref[...], bhi_ref[...], nbb).astype(oh)
+        A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba)
+        A = (A & ok_row).astype(oh) * w_ref[...].reshape(1, e_elems)
+        B = _bin_rows(b_row, blo_ref[...], bhi_ref[...], nbb).astype(oh)
+    else:
+        # cumulative compare rows (1 op per edge); the joint per-bin counts
+        # are the exact 2-D inclusion-exclusion differences, taken by the
+        # wrapper: c[i,j] = cum[i,j] - cum[i+1,j] - cum[i,j+1] + cum[i+1,j+1]
+        A = ((a_row >= alo_ref[...]) & ok_row).astype(oh)
+        B = (b_row >= blo_ref[...]).astype(oh)
 
     counts = jax.lax.dot_general(
         A, B, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -345,22 +394,37 @@ def _joint2_kernel(
 def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     # full-reduction joint histogram over an arbitrary 2-D element set —
     # operands keep their natural shape, only tail padding (no-op when the
-    # shape is tile-aligned)
+    # shape is tile-aligned); small-m inputs fold into synthetic sub-rows
     m, c = a2d.shape
-    alo, ahi, nba, nba_pad = _lo_hi_cols(edges_a)
-    blo, bhi, nbb, nbb_pad = _lo_hi_cols(edges_b)
+    arrays, w2d, m_syn, c_syn, f = _fold_rows([a2d, b2d], w2d, m, c)
+    a2d, b2d = arrays
+    weighted_mode = w2d is not None
+    if weighted_mode:
+        alo, ahi, nba, nba_pad = _lo_hi_cols(edges_a)
+        blo, bhi, nbb, nbb_pad = _lo_hi_cols(edges_b)
+    else:
+        nba = int(jnp.asarray(edges_a).shape[0]) - 1
+        nbb = int(jnp.asarray(edges_b).shape[0]) - 1
+        nba_pad = _round_up(nba + 1, _SUB)
+        nbb_pad = _round_up(nbb + 1, _SUB)
+        alo, _ = _cum_col(edges_a, nba_pad)
+        blo, _ = _cum_col(edges_b, nbb_pad)
+        ahi, bhi = alo, blo  # unused in cumulative mode
 
     tm = _SUB
     # keep A+B+temps under the VMEM budget: bytes ≈ 4·(nba+nbb)·E
-    budget = 6 << 20
-    tc = 512
+    # (weighted mode holds f32 matrices — see _run_one_input note)
+    budget = _VMEM_BUDGET if not weighted_mode else _VMEM_BUDGET // 3
+    tc = _MAX_TC
     while tm * tc * (nba_pad + nbb_pad) * 4 > budget and tc > _LANE:
         tc //= 2
-    m_pad = _round_up(max(m, 1), tm)
-    c_pad = _round_up(max(c, 1), tc)
+    while tc > _LANE and tc >= 2 * max(c_syn, 1):
+        tc //= 2  # don't pad columns beyond the (folded) row width
+    m_pad = _round_up(max(m_syn, 1), tm)
+    c_pad = _round_up(max(c_syn, 1), tc)
 
     def padded(x):
-        return _pad2d(x, m_pad - m, c_pad - c)
+        return _pad2d(x, m_pad - m_syn, c_pad - c_syn)
 
     a2d = padded(a2d)
     b2d = padded(b2d)
@@ -388,7 +452,8 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     counts = pl.pallas_call(
         partial(
             _joint2_kernel,
-            nba=nba, nbb=nbb, m_true=m, c_true=c, weighted=weighted,
+            nba=nba, nbb=nbb, m_true=m_syn, f=f, c_syn=c_syn, c_real=c,
+            weighted=weighted,
         ),
         grid=grid,
         in_specs=[
@@ -410,6 +475,10 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
         interpret=_interpret(),
     )(a2d, b2d, w, alo, ahi, blo, bhi)
 
+    if not weighted_mode:
+        # 2-D inclusion-exclusion: cumulative joint → per-bin (exact ints)
+        cum = counts[: nba + 1, : nbb + 1]
+        counts = cum[:-1, :-1] - cum[1:, :-1] - cum[:-1, 1:] + cum[1:, 1:]
     # flatten (nba, nbb) joint counts to the flat-slot contract + trash col
     flat = counts[:nba, :nbb].reshape(1, nba * nbb)
     trash = jnp.zeros((1, 1), flat.dtype)
@@ -502,9 +571,9 @@ def _direct_kernel(
 
 def _pick_tiles_direct(n_slots_pad):
     tm = _SUB
-    tc = 512
+    tc = min(_MAX_TC, 512)
     slot_chunk = min(n_slots_pad, 1024)
-    budget_elems = 1 << 20  # ~4 MiB of f32 for G
+    budget_elems = _VMEM_BUDGET // 4
     while tm * tc * slot_chunk > budget_elems and tc > _LANE:
         tc //= 2
     while tm * tc * slot_chunk > budget_elems and slot_chunk > _LANE:

@@ -54,10 +54,19 @@ def flatten_keep_minor(a):
 
     Merging leading dims keeps the tiled device layout intact, so — unlike a
     flatten to ``(1, size)`` — this is copy-free even when the result feeds a
-    Pallas kernel (whose operands are materialized buffers)."""
+    Pallas kernel (whose operands are materialized buffers). 1-D inputs are
+    viewed as (N/k, k) for the largest power-of-two k ≤ 2048 dividing N, so
+    the sublane dimension carries real work (a (1, N) layout would force an
+    8x row-padding copy downstream); odd sizes fall back to (1, N)."""
     if a.ndim >= 2:
         return a.reshape(-1, a.shape[-1])
-    return a.reshape(1, max(a.size, 0))
+    n = max(a.size, 0)
+    k = 2048
+    while k >= 8 and (n % k or (n // k) % 8):
+        k //= 2
+    if k >= 8:
+        return a.reshape(n // k, k)
+    return a.reshape(1, n)
 
 
 def canonicalize_2d(a, axis):
