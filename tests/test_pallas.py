@@ -68,7 +68,10 @@ def test_pallas_weighted():
     expected = np.stack(
         [np.histogram(r, bins=bins9, weights=wr)[0] for r, wr in zip(data, w)]
     )
-    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-6)
+    # split-weight mode carries ~17 mantissa bits of the weights (see
+    # ops/pallas_hist._split_bf16) → ~1e-5 relative; exact-f32 matmuls are
+    # available via XHIST_WEIGHTED_PRECISION=highest
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
 
 
 def test_pallas_3input_joint():

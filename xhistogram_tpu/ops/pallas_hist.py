@@ -67,6 +67,10 @@ import os as _os
 
 _VMEM_BUDGET = int(_os.environ.get("XHIST_VMEM_BUDGET", 24 << 20))
 _MAX_TC = int(_os.environ.get("XHIST_MAX_TC", 8192))
+# Weighted-matmul mode: "split" decomposes f32 weights into two bf16 parts
+# (hi + lo, ~17 mantissa bits; two bf16 matmuls ≈ 2x unweighted cost);
+# "highest" keeps full-f32 MXU passes (exact, ~5x unweighted cost).
+_WEIGHTED_SPLIT = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split") == "split"
 
 
 def _round_up(x, m):
@@ -158,6 +162,41 @@ def _cum_col(e, out_rows):
     return col.reshape(out_rows, 1), ne
 
 
+def _split_bf16(w_row):
+    """f32 (1, E) → (hi, lo) bf16 rows with hi + lo ≈ w to ~17 mantissa bits
+    (products against 0/1 one-hots are exact, so only the representation of
+    the weights is approximated)."""
+    hi = w_row.astype(jnp.bfloat16)
+    lo = (w_row - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16):
+    """counts = (onehot ⊙ w) ·ᵉ rhs with f32 weights.
+
+    In split mode: two bf16 matmuls against the hi/lo weight parts; else one
+    full-precision f32 matmul (Mosaic supports DEFAULT and HIGHEST only).
+    """
+    if _WEIGHTED_SPLIT:
+        lhs = oh_lhs_bool.astype(jnp.bfloat16)
+        hi, lo = _split_bf16(w_row)
+        dn = (((1,), (1,)), ((), ()))
+        return jax.lax.dot_general(
+            lhs * hi, rhs_bf16, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            lhs * lo, rhs_bf16, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    lhs = oh_lhs_bool.astype(jnp.float32) * w_row
+    return jax.lax.dot_general(
+        lhs, rhs_bf16.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 # ---------------------------------------------------------------------------
 # membership-row builder (shared by one_input / joint2 kernel bodies)
 # ---------------------------------------------------------------------------
@@ -208,26 +247,24 @@ def _one_input_kernel(
         & (sub * c_syn + cols < c_real)
     )
 
-    oh_dtype = jnp.float32 if weighted else jnp.bfloat16
+    m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    R_bool = (m_col == local_row) & in_bounds
     if weighted:
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
-        A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb).astype(oh_dtype)
+        A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb)
+        counts = _weighted_dot(
+            R_bool, w_ref[...].reshape(1, e_elems), A.astype(jnp.bfloat16)
+        )
     else:
         # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
         # per-bin counts are exact integer differences, taken by the wrapper
-        A = (a_row >= lo_ref[...]).astype(oh_dtype)
-
-    m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
-    R = ((m_col == local_row) & in_bounds).astype(oh_dtype)
-    if weighted:
-        R = R * w_ref[...].reshape(1, e_elems)
-
-    counts = jax.lax.dot_general(
-        R, A, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if weighted else None,
-    )  # (tm, rows_pad) per-bin / cumulative counts
+        A = (a_row >= lo_ref[...]).astype(jnp.bfloat16)
+        counts = jax.lax.dot_general(
+            R_bool.astype(jnp.bfloat16), A,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tm, rows_pad) cumulative counts
 
     if reduce_all:
         # single output block accumulated over the whole grid; the tm
@@ -366,23 +403,22 @@ def _joint2_kernel(
         & (sub * c_syn + cols < c_real)
     )
 
-    oh = jnp.float32 if weighted else jnp.bfloat16
     if weighted:
-        A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba)
-        A = (A & ok_row).astype(oh) * w_ref[...].reshape(1, e_elems)
-        B = _bin_rows(b_row, blo_ref[...], bhi_ref[...], nbb).astype(oh)
+        A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba) & ok_row
+        B = _bin_rows(b_row, blo_ref[...], bhi_ref[...], nbb)
+        counts = _weighted_dot(
+            A, w_ref[...].reshape(1, e_elems), B.astype(jnp.bfloat16)
+        )
     else:
         # cumulative compare rows (1 op per edge); the joint per-bin counts
         # are the exact 2-D inclusion-exclusion differences, taken by the
         # wrapper: c[i,j] = cum[i,j] - cum[i+1,j] - cum[i,j+1] + cum[i+1,j+1]
-        A = ((a_row >= alo_ref[...]) & ok_row).astype(oh)
-        B = (b_row >= blo_ref[...]).astype(oh)
-
-    counts = jax.lax.dot_general(
-        A, B, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if weighted else None,
-    )  # (nba_pad, nbb_pad)
+        A = ((a_row >= alo_ref[...]) & ok_row).astype(jnp.bfloat16)
+        B = (b_row >= blo_ref[...]).astype(jnp.bfloat16)
+        counts = jax.lax.dot_general(
+            A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nba_pad, nbb_pad)
 
     @pl.when((i == 0) & (j == 0))
     def _init():
@@ -545,22 +581,23 @@ def _direct_kernel(
     n_real = math.prod(nbins)
     g = jnp.where(valid, g, n_real)  # (1, E)
 
-    oh_dtype = jnp.float32 if weighted else jnp.bfloat16
     slot_col = n * slot_chunk + jax.lax.broadcasted_iota(
         jnp.int32, (slot_chunk, 1), 0
     )
-    G = (slot_col == g).astype(oh_dtype)
+    G = (slot_col == g)
 
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
-    R = (m_col == local_row).astype(oh_dtype)
+    R_bool = m_col == local_row
     if weighted:
-        R = R * w_ref[...].reshape(1, e_elems)
-
-    counts = jax.lax.dot_general(
-        R, G, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if weighted else None,
-    )
+        counts = _weighted_dot(
+            R_bool, w_ref[...].reshape(1, e_elems), G.astype(jnp.bfloat16)
+        )
+    else:
+        counts = jax.lax.dot_general(
+            R_bool.astype(jnp.bfloat16), G.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == 0)
     def _init():
