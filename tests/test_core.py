@@ -278,3 +278,18 @@ def test_int64_inputs_hit_int32_pipeline_safely():
 def test_no_args_raises():
     with pytest.raises(ValueError):
         histogram(bins=10)
+
+
+@pytest.mark.parametrize("method", ["scatter", "pallas"])
+def test_density_exact_bin_areas_f64_edges(method):
+    """Density must divide by areas of the ORIGINAL edges, not the
+    transformed comparison edges (regression: the half-open transform
+    perturbs the last edge by one ulp)."""
+    np.random.seed(11)
+    data = np.random.randn(4, 50).astype("f4")
+    edges = np.linspace(-2.0, 30.0, 12)  # widths not f32-exact
+    h, _ = histogram(data, bins=edges, axis=(1,), density=True, method=method)
+    expected = np.stack(
+        [np.histogram(r.astype("f8"), bins=edges, density=True)[0] for r in data]
+    )
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)

@@ -89,3 +89,33 @@ def test_methods_under_outer_jit(method):
     np.testing.assert_array_equal(
         np.asarray(f(data)), np.histogram(data, bins=bins_arr)[0]
     )
+
+
+def test_grad_through_pallas_matches_scatter():
+    """The Pallas weighted path defines a custom VJP (gather of the cotangent
+    at each element's joint slot) — gradients must match the XLA path."""
+    rng = np.random.RandomState(7)
+    data = jnp.asarray(rng.randn(64).astype("f4"))
+    d2 = jnp.asarray(rng.randn(64).astype("f4"))
+    w0 = jnp.asarray(rng.rand(64).astype("f4"))
+    coef = jnp.arange(9.0)
+
+    def loss(w, method):
+        h, _ = histogram(data, bins=bins_arr, weights=w, method=method)
+        return jnp.sum(h * coef)
+
+    g_pallas = jax.grad(lambda w: loss(w, "pallas"))(w0)
+    g_scatter = jax.grad(lambda w: loss(w, "scatter"))(w0)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_scatter), rtol=1e-5
+    )
+
+    b2 = np.linspace(-3, 3, 7)
+
+    def loss2(w, method):
+        h, _ = histogram(data, d2, bins=[bins_arr, b2], weights=w, method=method)
+        return jnp.sum(h**2)
+
+    g2p = jax.grad(lambda w: loss2(w, "pallas"))(w0)
+    g2s = jax.grad(lambda w: loss2(w, "scatter"))(w0)
+    np.testing.assert_allclose(np.asarray(g2p), np.asarray(g2s), rtol=1e-4)

@@ -94,7 +94,17 @@ def _order_preserving_int32(a_np, edges_np):
     ),
 )
 def _histogram_impl(
-    arrays, weights, edges, *, axis, nbins, density, method, block_size, has_weights
+    arrays,
+    weights,
+    edges,
+    bin_area=None,
+    *,
+    axis,
+    nbins,
+    density,
+    method,
+    block_size,
+    has_weights,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -163,15 +173,13 @@ def _histogram_impl(
     if density:
         # h = counts / bin_areas / per-bystander-row totals, so the density
         # integrates to 1 independently per kept row (NaN rows normalize
-        # independently — reference core.py:444-462, issue #51).
+        # independently — reference core.py:444-462, issue #51). Areas come
+        # from the *original* edges (``edges`` here are the transformed
+        # half-open comparison form — see bins.edges_for_compare).
         n_inputs = len(arrays)
-        widths = [jnp.diff(e.astype(jnp.float32)) for e in edges]
-        area = widths[0]
-        for w in widths[1:]:
-            area = area[..., None] * w
         bin_axes = tuple(range(-n_inputs, 0))
         totals = h.sum(axis=bin_axes, keepdims=True)
-        h = h / area / totals
+        h = h / bin_area / totals
 
     return h
 
@@ -266,10 +274,18 @@ def histogram(
         for e, a in zip(edges_for_device, arrays_b)
     )
 
+    # Bin areas for density come from the original (untransformed) edges.
+    bin_area = (
+        jnp.asarray(_bins_mod.bin_areas(edges_np), jnp.float32)
+        if density
+        else None
+    )
+
     h = _histogram_impl(
         arrays_b,
         weights_b,
         edges_dev,
+        bin_area,
         axis=axis_t,
         nbins=nbins,
         density=bool(density),

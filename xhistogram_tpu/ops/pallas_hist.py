@@ -700,21 +700,9 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False):
-    """Fused Pallas histogram over a 2-D layout.
-
-    With ``reduce_all=False`` the layout is the canonical (kept rows, reduce
-    cols). With ``reduce_all=True`` the 2-D shape is an arbitrary
-    minor-dim-preserving view of the full element set (zero host reshapes —
-    pallas operands are materialized buffers, so a flatten would be a real
-    HBM copy) and the result has one logical row.
-
-    Returns ``counts (M, prod(nbins) + 1)`` — trailing trash slot dropped by
-    the caller (same contract as the ops.bincount strategies).
-    """
+def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
-    reduce_all = reduce_all or m == 1
     if n_inputs == 1 and nbins[0] <= 1024:
         return _run_one_input(
             arrays_2d[0], weights_2d, edges[0], nbins, reduce_all
@@ -733,4 +721,59 @@ def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False):
         arrays_2d = [a.reshape(1, -1) for a in arrays_2d]
         if weights_2d is not None:
             weights_2d = weights_2d.reshape(1, -1)
-    return _run_direct(arrays_2d, edges, weights_2d, nbins)
+    return _run_direct(list(arrays_2d), edges, weights_2d, nbins)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _weighted_call(arrays_2d, edges, weights_2d, nbins, reduce_all):
+    """Weighted kernel dispatch with a custom VJP: the histogram is linear in
+    the weights, so d(counts)/d(w_e) is the one-hot of element e's joint slot
+    — the cotangent pullback is a gather of g at each element's slot. Data
+    and edge cotangents are zero (piecewise-constant dependence), matching
+    the XLA strategies' implicit behavior."""
+    return _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all)
+
+
+def _weighted_fwd(arrays_2d, edges, weights_2d, nbins, reduce_all):
+    out = _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all)
+    return out, (arrays_2d, edges, jnp.zeros((), weights_2d.dtype))
+
+
+def _weighted_bwd(nbins, reduce_all, res, g):
+    from .digitize import digitize_edges, joint_bin_index
+
+    arrays_2d, edges, w_proto = res
+    indices = [digitize_edges(a, e) for a, e in zip(arrays_2d, edges)]
+    gidx, _ = joint_bin_index(indices, nbins)
+    if g.shape[0] == 1 and gidx.shape[0] != 1:
+        dw = jnp.take(g[0], gidx)
+    else:
+        dw = jnp.take_along_axis(g, gidx, axis=1)
+    zeros_a = tuple(jnp.zeros_like(a) for a in arrays_2d)
+    zeros_e = tuple(jnp.zeros_like(e) for e in edges)
+    return zeros_a, zeros_e, dw.astype(w_proto.dtype)
+
+
+_weighted_call.defvjp(_weighted_fwd, _weighted_bwd)
+
+
+def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False):
+    """Fused Pallas histogram over a 2-D layout.
+
+    With ``reduce_all=False`` the layout is the canonical (kept rows, reduce
+    cols). With ``reduce_all=True`` the 2-D shape is an arbitrary
+    minor-dim-preserving view of the full element set (zero host reshapes —
+    pallas operands are materialized buffers, so a flatten would be a real
+    HBM copy) and the result has one logical row.
+
+    Weighted calls are differentiable w.r.t. the weights (custom VJP).
+
+    Returns ``counts (M, prod(nbins) + 1)`` — trailing trash slot dropped by
+    the caller (same contract as the ops.bincount strategies).
+    """
+    reduce_all = bool(reduce_all or arrays_2d[0].shape[0] == 1)
+    if weights_2d is not None:
+        return _weighted_call(
+            tuple(arrays_2d), tuple(edges), weights_2d, tuple(nbins), reduce_all
+        )
+    return _dispatch(list(arrays_2d), list(edges), None, nbins, reduce_all)

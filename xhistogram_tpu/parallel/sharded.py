@@ -27,19 +27,21 @@ mirroring where the reference normalizes after the dask tree-sum
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import bins as _bins_mod
 from ..core import _histogram_impl
-from ..utils.axes import kept_shape, normalize_axis
+from ..utils.axes import normalize_axis
 
 __all__ = ["histogram_sharded", "reduce_spec"]
+
+# `range` is a histogram keyword (reference API, core.py:19-20 does the same)
+_builtin_range = range
 
 
 def reduce_spec(spec: P, axis, ndim):
@@ -103,7 +105,6 @@ def histogram_sharded(
     ndim = len(shape)
     axis_t = normalize_axis(axis, ndim)
     out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
-    kshape = kept_shape(shape, axis_t)
     n_inputs = len(arrays)
 
     # Exact half-open comparison form (see bins.edges_for_compare).
@@ -153,13 +154,13 @@ def histogram_sharded(
     )
 
     if density:
-        widths = [jnp.diff(e.astype(jnp.float32)) for e in edges_dev]
-        area = widths[0]
-        for w in widths[1:]:
-            area = area[..., None] * w
-        bin_axes = tuple(np.arange(-n_inputs, 0))
-        totals = h.sum(axis=tuple(int(i) for i in bin_axes), keepdims=True)
+        # areas from the *original* edges (edges_dev are the transformed
+        # comparison form); normalize after the global psum so per-row totals
+        # are global (reference normalizes after the tree-sum, core.py:439+)
+        area = jnp.asarray(_bins_mod.bin_areas(edges_np), jnp.float32)
+        # NB: `range` here is the histogram kwarg (reference API name)
+        bin_axes = tuple(_builtin_range(-n_inputs, 0))
+        totals = h.sum(axis=bin_axes, keepdims=True)
         h = h / area / totals
 
-    del kshape  # shape bookkeeping is implicit in out_specs
     return h, edges_np
