@@ -90,3 +90,31 @@ def test_pallas_matches_other_methods():
     for m in ("scatter", "onehot", "sort"):
         hm, _ = histogram(data, bins=bins9, axis=1, method=m)
         np.testing.assert_array_equal(np.asarray(hp), np.asarray(hm))
+
+
+def test_factored_huge_joint_grid():
+    """Joint grids beyond the slot-chunk budget route through the factored
+    kernel (split flat index, equality one-hots) — exact counts."""
+    rng = np.random.RandomState(8)
+    a = rng.randn(4, 500).astype("f4")
+    b = rng.randn(4, 500).astype("f4")
+    bins_a = np.linspace(-4, 4, 301)   # 300 x 400 = 120k slots
+    bins_b = np.linspace(-4, 4, 401)
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], method="pallas")
+    expected, _, _ = np.histogram2d(a.ravel(), b.ravel(), bins=[bins_a, bins_b])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_factored_weighted_and_3input():
+    rng = np.random.RandomState(9)
+    data = [rng.randn(2000).astype("f4") for _ in range(3)]
+    w = rng.rand(2000).astype("f4")
+    bins = [np.linspace(-4, 4, n) for n in (33, 41, 29)]  # 35840 slots
+    h, _ = histogram(*data, bins=bins, weights=w, method="pallas")
+    expected, _ = np.histogramdd(
+        [d.ravel() for d in data], bins=bins, weights=w
+    )
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-4, atol=1e-4)
+    h2, _ = histogram(*data, bins=bins, method="pallas")
+    e2, _ = np.histogramdd([d.ravel() for d in data], bins=bins)
+    np.testing.assert_array_equal(np.asarray(h2), e2)

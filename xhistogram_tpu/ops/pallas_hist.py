@@ -80,14 +80,15 @@ def _round_up(x, m):
 def supports(n_inputs, nbins, m) -> bool:
     """Whether a Pallas kernel handles this problem shape *efficiently*
     (the dispatcher itself accepts anything; 'auto' uses this to decide
-    pallas vs the XLA sort strategy for huge joint grids)."""
+    pallas vs the XLA strategies)."""
     n_real = math.prod(int(b) for b in nbins)
+    if m == 1:
+        # full reduction: one_input / joint2 / factored cover everything up
+        # to ~2M joint slots, as long as the per-element digitize cost
+        # (Σ n_edges compares on the VPU) stays sane
+        return n_real + 1 <= (1 << 21) and sum(nbins) + n_inputs <= 4096
     if n_inputs == 1:
         return nbins[0] <= 1024 or n_real + 1 <= 8192
-    if n_inputs == 2 and m == 1:
-        # joint2: A/B compare matrices + counts tile must fit VMEM
-        if _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536:
-            return True
     return n_real + 1 <= 8192
 
 
@@ -521,6 +522,164 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     return jnp.concatenate([flat, trash], axis=1)
 
 
+
+# ---------------------------------------------------------------------------
+# factored: any input count, full reduction, any joint grid up to ~2M slots
+# ---------------------------------------------------------------------------
+
+
+def _factored_kernel(
+    *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1, log2_n2, weighted
+):
+    """Digitize → flat joint slot id g → split into integer sub-indices
+    (g1, g2) = (g >> log2_n2, g & (n2-1)) → equality one-hots → one matmul
+    gives cum-free exact counts over an (n1, n2) factorization of the slot
+    space. O(Σ n_edges + n1 + n2) VPU work per element; the O(n1·n2) joint
+    work rides the MXU. This is how joint grids beyond the direct kernel's
+    slot-chunk budget stay on the fused path (the reference's analog is just
+    more dask tasks; SURVEY.md §7 'huge joint grids' hard part)."""
+    data_refs = refs[:n_inputs]
+    pos = n_inputs
+    w_ref = None
+    if weighted:
+        w_ref = refs[pos]
+        pos += 1
+    edge_refs = refs[pos : pos + n_inputs]
+    out_ref = refs[pos + n_inputs]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tm, tc = data_refs[0].shape
+    e_elems = tm * tc
+    n2 = 1 << log2_n2
+
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
+    local_row = e_ids // tc
+    local_col = e_ids - local_row * tc
+    sub = (i * tm + local_row) % f if f > 1 else 0
+    cols = j * tc + local_col
+    in_bounds = (
+        (i * tm + local_row < m_true)
+        & (cols < c_syn)
+        & (sub * c_syn + cols < c_real)
+    )
+
+    g = None
+    valid = in_bounds
+    for k in range(n_inputs):
+        a = data_refs[k][...]
+        edges = edge_refs[k]  # (ne_pad, 1), +max padded, half-open transform
+        ne_pad = edges.shape[0]
+        idx = jnp.zeros((tm, tc), jnp.int32)
+        for e0 in range(0, ne_pad, _SUB):
+            chunk = edges[e0 : e0 + _SUB, :]
+            cmp = a[None, :, :] >= chunk[:, :, None]
+            idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
+        t = (idx - 1).reshape(1, e_elems)
+        ok = (t >= 0) & (t <= nbins[k] - 1)
+        valid = valid & ok
+        t = jnp.clip(t, 0, nbins[k] - 1)
+        g = t if g is None else g * nbins[k] + t
+    n_real = math.prod(nbins)
+    g = jnp.where(valid, g, n_real)  # trash slot (also covers padding)
+
+    g1 = g >> log2_n2  # (1, E) integer sub-indices
+    g2 = g & (n2 - 1)
+
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
+    A1 = r1 == g1  # (n1, E) equality one-hot
+    A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
+
+    if weighted:
+        counts = _weighted_dot(A1, w_ref[...].reshape(1, e_elems), A2)
+    else:
+        counts = jax.lax.dot_general(
+            A1.astype(jnp.bfloat16), A2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n1, n2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += counts.astype(out_ref.dtype)
+
+
+def _run_factored(arrays_2d, edges, weights_2d, nbins):
+    m, c = arrays_2d[0].shape
+    n_inputs = len(arrays_2d)
+    arrays_2d, weights_2d, m_syn, c_syn, f = _fold_rows(
+        list(arrays_2d), weights_2d, m, c
+    )
+    n_real = math.prod(int(b) for b in nbins)
+    n_slots = n_real + 1
+
+    # power-of-two n2 near sqrt (lane dim ≥ 128), n1 covers the rest
+    log2_n2 = max(7, (n_slots - 1).bit_length() // 2)
+    n2 = 1 << log2_n2
+    n1 = _round_up(-(-n_slots // n2), _SUB)
+
+    weighted = weights_2d is not None
+    out_dtype = jnp.int32 if not weighted else jnp.float32
+
+    # A1+A2 are ((n1+n2), E); budget like the other kernels
+    budget = _VMEM_BUDGET if not weighted else _VMEM_BUDGET // 3
+    tm = _SUB
+    tc = _MAX_TC
+    while tm * tc * (n1 + n2) * 4 > budget and tc > _LANE:
+        tc //= 2
+    while tc > _LANE and tc >= 2 * max(c_syn, 1):
+        tc //= 2
+
+    m_pad = _round_up(max(m_syn, 1), tm)
+    c_pad = _round_up(max(c_syn, 1), tc)
+    padded = [_pad2d(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d]
+    if weighted:
+        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
+
+    edge_ops = [_edges_col(e, pad_to=_SUB)[0] for e in edges]
+
+    grid = (m_pad // tm, c_pad // tc)
+    fixed = lambda i, j: (0, 0)
+    moving = lambda i, j: (i, j)
+    in_specs = [
+        pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM)
+        for _ in range(n_inputs)
+    ]
+    operands = list(padded)
+    if weighted:
+        in_specs.append(pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM))
+        operands.append(w)
+    for col in edge_ops:
+        in_specs.append(pl.BlockSpec(col.shape, fixed, memory_space=pltpu.VMEM))
+        operands.append(col)
+
+    counts = pl.pallas_call(
+        partial(
+            _factored_kernel,
+            n_inputs=n_inputs,
+            nbins=tuple(int(b) for b in nbins),
+            f=f,
+            m_true=m_syn,
+            c_syn=c_syn,
+            c_real=c,
+            n1=n1,
+            log2_n2=log2_n2,
+            weighted=weighted,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n1, n2), fixed, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1, n2), out_dtype),
+        interpret=_interpret(),
+    )(*operands)
+
+    flat = counts.reshape(1, n1 * n2)
+    return flat[:, :n_slots]
+
+
 # ---------------------------------------------------------------------------
 # direct: general flat-slot one-hot kernel (3+ inputs / kept rows + joint)
 # ---------------------------------------------------------------------------
@@ -715,12 +874,9 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
         return _run_joint2(
             arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
         )
-    if reduce_all and m > 1:
-        # direct kernel expects the canonical layout; collapse rows (XLA may
-        # copy, but this path is rare: 3+ inputs or huge 2-input grids)
-        arrays_2d = [a.reshape(1, -1) for a in arrays_2d]
-        if weights_2d is not None:
-            weights_2d = weights_2d.reshape(1, -1)
+    if reduce_all:
+        # any input count, any joint grid up to ~2M slots
+        return _run_factored(arrays_2d, edges, weights_2d, nbins)
     return _run_direct(list(arrays_2d), edges, weights_2d, nbins)
 
 
