@@ -18,14 +18,15 @@ import numpy as np
 
 
 def _time(f, reps=3):
-    import jax
-
-    jax.block_until_ready(f())  # compile
-    t0 = time.perf_counter()
+    # timing forces a host transfer of the (small) result —
+    # jax.block_until_ready does not reliably wait under remote backends
+    np.asarray(f())  # compile + settle
+    times = []
     for _ in range(reps):
-        r = f()
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        np.asarray(f())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def _time_np(f, reps=2):

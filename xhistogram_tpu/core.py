@@ -22,7 +22,6 @@ take the weights dtype (reference core.py:363), density results are floating.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

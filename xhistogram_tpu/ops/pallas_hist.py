@@ -27,7 +27,12 @@ Three specializations, auto-dispatched by ``pallas_histogram2d``:
     the O(Na·Nb) joint work runs on the MXU at full utilization — no joint
     slot-count cap.
 
-``direct`` (any input count; joint slots ≤ 8192)
+``factored`` (any input count, full reduction; joint grids up to ~2M slots)
+    Digitize to the flat joint slot id, split it into two integer
+    sub-indices, equality one-hots on each, one matmul over the factorized
+    (n1, n2) slot space — O(Σ n_edges + √slots) VPU work per element.
+
+``direct`` (kept rows with multi-input joint grids; slots ≤ 8192)
     Flat joint slot one-hot ``G(slot_chunk, E)`` against the row one-hot
     ``R(tm, E)``; slot-chunked grid bounds VMEM (the Pallas analog of the
     reference's ``block_size`` memory bound, core.py:86-134).
@@ -299,12 +304,13 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         hi = lo  # unused in cumulative mode
 
     tm = _SUB
-    # A is (rows_pad, tm*tc); keep it + temps under the VMEM budget
-    # (weighted mode holds f32 matrices — 2x bf16 — so it gets 1/3 budget to
-    # stay inside the ~16 MB scoped-vmem limit with temps)
+    # A is (nb_out, tm*tc) after lane padding; keep it + temps under the VMEM
+    # budget (weighted mode holds extra split/f32 temps — 1/3 budget to stay
+    # inside the ~16 MB scoped-vmem limit)
+    nb_out = _round_up(rows_pad, _LANE)
     budget = _VMEM_BUDGET if not weighted_mode else _VMEM_BUDGET // 3
     tc = _MAX_TC
-    while tm * tc * rows_pad * 4 > budget and tc > _LANE:
+    while tm * tc * nb_out * 4 > budget and tc > _LANE:
         tc //= 2
     while tc > _LANE and tc >= 2 * max(c_syn, 1):
         tc //= 2  # don't pad columns beyond the (folded) row width
@@ -318,7 +324,6 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         w2d = jnp.zeros((tm, tc), jnp.float32)  # unused placeholder block
 
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    nb_out = _round_up(rows_pad, _LANE)
     lo = jnp.pad(lo, ((0, nb_out - rows_pad), (0, 0)),
                  constant_values=_max_fill(lo.dtype))
     hi = jnp.pad(hi, ((0, nb_out - rows_pad), (0, 0)),
@@ -449,11 +454,13 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
         ahi, bhi = alo, blo  # unused in cumulative mode
 
     tm = _SUB
-    # keep A+B+temps under the VMEM budget: bytes ≈ 4·(nba+nbb)·E
-    # (weighted mode holds f32 matrices — see _run_one_input note)
+    # keep A+B+temps under the VMEM budget, accounting for lane padding
+    # (weighted mode holds extra split/f32 temps — see _run_one_input note)
+    nba_out = _round_up(nba_pad, _SUB)
+    nbb_out = _round_up(nbb_pad, _LANE)
     budget = _VMEM_BUDGET if not weighted_mode else _VMEM_BUDGET // 3
     tc = _MAX_TC
-    while tm * tc * (nba_pad + nbb_pad) * 4 > budget and tc > _LANE:
+    while tm * tc * (nba_out + nbb_out) * 4 > budget and tc > _LANE:
         tc //= 2
     while tc > _LANE and tc >= 2 * max(c_syn, 1):
         tc //= 2  # don't pad columns beyond the (folded) row width
@@ -472,8 +479,6 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
         w = jnp.zeros((tm, tc), jnp.float32)
 
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    nba_out = _round_up(nba_pad, _SUB)
-    nbb_out = _round_up(nbb_pad, _LANE)
     alo = jnp.pad(alo, ((0, nba_out - nba_pad), (0, 0)),
                   constant_values=_max_fill(alo.dtype))
     ahi = jnp.pad(ahi, ((0, nba_out - nba_pad), (0, 0)),

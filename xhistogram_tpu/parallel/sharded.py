@@ -113,44 +113,21 @@ def histogram_sharded(
         for e, a in zip(edges_np, arrays)
     )
 
-    # Local reduced axes indices must be remapped to the *local* shard view —
-    # shapes shrink but axis ids are unchanged under shard_map, so axis_t is
-    # reused as-is.
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(
-            tuple(in_spec for _ in arrays),
-            in_spec if weights is not None else P(),
-            tuple(P() for _ in edges_dev),
-        ),
-        out_specs=full_out_spec,
-        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
-        # VMA check (the psum below establishes the replication explicitly)
-        check_vma=False,
-    )
-    def _local(arrays_l, weights_l, edges_l):
-        counts = _histogram_impl(
-            arrays_l,
-            weights_l if weights is not None else None,
-            edges_l,
-            axis=axis_t,
-            nbins=nbins,
-            density=False,  # normalize only after the global reduction
-            method=method,
-            block_size=block_size,
-            has_weights=weights is not None,
-        )
-        if psum_axes:
-            counts = jax.lax.psum(counts, psum_axes)
-        return counts
-
-    h = _local(
+    h = _sharded_impl(
         tuple(arrays),
         weights if weights is not None else jnp.zeros((), jnp.float32),
         edges_dev,
+        mesh=mesh,
+        in_spec=in_spec,
+        out_spec=full_out_spec,
+        axis=axis_t,
+        nbins=nbins,
+        method=method,
+        block_size=block_size,
+        has_weights=weights is not None,
+        psum_axes=psum_axes,
     )
 
     if density:
@@ -164,3 +141,69 @@ def histogram_sharded(
         h = h / area / totals
 
     return h, edges_np
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "in_spec",
+        "out_spec",
+        "axis",
+        "nbins",
+        "method",
+        "block_size",
+        "has_weights",
+        "psum_axes",
+    ),
+)
+def _sharded_impl(
+    arrays,
+    weights,
+    edges,
+    *,
+    mesh,
+    in_spec,
+    out_spec,
+    axis,
+    nbins,
+    method,
+    block_size,
+    has_weights,
+    psum_axes,
+):
+    """Module-level jitted shard_map program (cached across calls; Mesh and
+    PartitionSpec are hashable statics). Local reduced-axis ids are unchanged
+    under shard_map — shapes shrink, positions don't — so ``axis`` is reused
+    as-is on the local shard."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(in_spec for _ in arrays),
+            in_spec if has_weights else P(),
+            tuple(P() for _ in edges),
+        ),
+        out_specs=out_spec,
+        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
+        # VMA check (the psum establishes the replication explicitly)
+        check_vma=False,
+    )
+    def _local(arrays_l, weights_l, edges_l):
+        counts = _histogram_impl(
+            arrays_l,
+            weights_l if has_weights else None,
+            edges_l,
+            axis=axis,
+            nbins=nbins,
+            density=False,  # normalize only after the global reduction
+            method=method,
+            block_size=block_size,
+            has_weights=has_weights,
+        )
+        if psum_axes:
+            counts = jax.lax.psum(counts, psum_axes)
+        return counts
+
+    return _local(arrays, weights, edges)
