@@ -100,3 +100,12 @@ def test_bin_geometry_helpers():
     np.testing.assert_allclose(bin_centers(e), [0.5, 2.0])
     a = bin_areas([e, np.array([0.0, 2.0])])
     np.testing.assert_allclose(a, [[2.0], [4.0]])
+
+
+def test_str_bins_with_weights_raises_like_numpy():
+    """bins='auto' + weights is a TypeError (numpy's histogram_bin_edges
+    contract — reference test_core.py:276-313 cond_2)."""
+    data = np.random.RandomState(0).randn(50)
+    w = np.ones(50)
+    with pytest.raises(TypeError):
+        resolve_bin_edges([data], "auto", None, weights=w)

@@ -62,10 +62,12 @@ def flatten_keep_minor(a):
         return a.reshape(-1, a.shape[-1])
     n = max(a.size, 0)
     k = 2048
-    while k >= 8 and (n % k or (n // k) % 8):
+    while k >= 512 and (n % k or (n // k) % 8):
         k //= 2
-    if k >= 8:
+    if k >= 512:
         return a.reshape(n // k, k)
+    # awkward sizes: (1, n) — the kernels' synthetic-row fold turns this into
+    # a well-tiled (8, ceil(n/8)) layout with correct tail masking
     return a.reshape(1, n)
 
 
