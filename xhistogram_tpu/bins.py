@@ -152,18 +152,19 @@ def edges_for_compare(edges, dtype):
     e = np.asarray(edges)
     dtype = np.dtype(dtype)
     if np.issubdtype(dtype, np.integer):
-        out = e.astype(dtype)
+        info = np.iinfo(dtype)
+        # clamp into the dtype's range BEFORE casting (no wraparound):
+        # a >= e with e ≤ min is always true ⟺ a >= min (exact); e > max is
+        # never true ⟺ a >= max except for a == max (documented corner —
+        # sub-32-bit ints are promoted to int32 upstream, removing it)
         if np.issubdtype(e.dtype, np.integer):
-            # ceil is exact for int→int (values must fit; int64 inputs are
-            # remapped order-preservingly upstream)
-            last = out[-1]
-            upper = last + 1 if last < np.iinfo(dtype).max else last
-            out = np.concatenate([out[:-1], [upper]]).astype(dtype)
-            return out
-        # float edges, int data: a >= e ⟺ a >= ceil(e)
-        lo = np.ceil(e[:-1]).astype(dtype)
-        upper = np.floor(e[-1]).astype(dtype)
-        upper = upper + 1 if upper < np.iinfo(dtype).max else upper
+            lo = np.clip(e[:-1], info.min, info.max).astype(dtype)
+            last = np.clip(e[-1], info.min, info.max)
+        else:
+            # float edges, int data: a >= e ⟺ a >= ceil(e)
+            lo = np.clip(np.ceil(e[:-1]), info.min, info.max).astype(dtype)
+            last = np.clip(np.floor(e[-1]), info.min, info.max)
+        upper = last + 1 if last < info.max else info.max
         return np.concatenate([lo, [upper]]).astype(dtype)
 
     # float data dtype

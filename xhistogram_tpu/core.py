@@ -44,13 +44,16 @@ __all__ = ["histogram"]
 def _coerce_host(x):
     """Host-side input coercion: datetime64 → int64 view (JAX has no datetime
     dtype; ordering is all binning needs — preserves the reference's datetime
-    support, test_core.py:365-382)."""
-    if isinstance(x, np.ndarray) and x.dtype.kind in "Mm":
-        return x.view("i8")
+    support, test_core.py:365-382); sub-32-bit ints are promoted to int32 so
+    the edge-comparison transform never saturates at the dtype boundary."""
     if not hasattr(x, "dtype"):  # python scalars / lists
         x = np.asarray(x)
-        if x.dtype.kind in "Mm":
-            x = x.view("i8")
+    if isinstance(x, np.ndarray) and x.dtype.kind in "Mm":
+        return x.view("i8")
+    if x.dtype.kind in "iub" and x.dtype.itemsize < 4:
+        return x.astype(np.int32 if isinstance(x, np.ndarray) else jnp.int32)
+    if x.dtype == np.uint32 and isinstance(x, np.ndarray):
+        return x.astype(np.int64)  # routed through the order-preserving remap
     return x
 
 

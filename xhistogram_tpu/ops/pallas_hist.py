@@ -208,12 +208,11 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16):
 # ---------------------------------------------------------------------------
 
 
-def _bin_rows(a_row, lo_col, hi_col, nb):
+def _bin_rows(a_row, lo_col, hi_col):
     """(nb_pad, E) boolean matrix whose row k is the bin-k membership of the
     E elements in ``a_row`` (1, E): [lo_k, hi_k) over *half-open comparison
     edges* (bins.edges_for_compare — the closed last bin of reference
     core.py:163-174 is already folded into hi's open upper bound)."""
-    del nb
     return (a_row >= lo_col) & (a_row < hi_col)  # (nb_pad, E)
 
 
@@ -258,7 +257,7 @@ def _one_input_kernel(
     if weighted:
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
-        A = _bin_rows(a_row, lo_ref[...], hi_ref[...], nb)
+        A = _bin_rows(a_row, lo_ref[...], hi_ref[...])
         counts = _weighted_dot(
             R_bool, w_ref[...].reshape(1, e_elems), A.astype(jnp.bfloat16)
         )
@@ -317,7 +316,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
     a2d = _pad2d(a2d, m_pad - m_syn, c_pad - c_syn)
-    weighted = w2d is not None
+    weighted = weighted_mode
     if weighted:
         w2d = _pad2d(w2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
     else:
@@ -410,8 +409,8 @@ def _joint2_kernel(
     )
 
     if weighted:
-        A = _bin_rows(a_row, alo_ref[...], ahi_ref[...], nba) & ok_row
-        B = _bin_rows(b_row, blo_ref[...], bhi_ref[...], nbb)
+        A = _bin_rows(a_row, alo_ref[...], ahi_ref[...]) & ok_row
+        B = _bin_rows(b_row, blo_ref[...], bhi_ref[...])
         counts = _weighted_dot(
             A, w_ref[...].reshape(1, e_elems), B.astype(jnp.bfloat16)
         )
