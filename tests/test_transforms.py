@@ -119,3 +119,15 @@ def test_grad_through_pallas_matches_scatter():
     g2p = jax.grad(lambda w: loss2(w, "pallas"))(w0)
     g2s = jax.grad(lambda w: loss2(w, "scatter"))(w0)
     np.testing.assert_allclose(np.asarray(g2p), np.asarray(g2s), rtol=1e-4)
+
+
+def test_measure_helper():
+    from xhistogram_tpu.utils.profiling import measure
+
+    dt, times = measure(
+        lambda x: histogram(x, bins=bins_arr)[0],
+        jnp.asarray(np.random.randn(256).astype("f4")),
+        reps=2,
+        warmup=1,
+    )
+    assert dt > 0 and len(times) == 2
