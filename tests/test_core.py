@@ -293,3 +293,49 @@ def test_density_exact_bin_areas_f64_edges(method):
         [np.histogram(r.astype("f8"), bins=edges, density=True)[0] for r in data]
     )
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("bins", [10, "auto", "fd"])
+@pytest.mark.parametrize("range_", [None, (-3, 3)])
+def test_int_and_str_bins_full_path(bins, range_):
+    """int/str bin specs resolve host-side and must match numpy end to end
+    (reference test_core.py parametrizes bins over int/array/'auto')."""
+    np.random.seed(12)
+    data = np.random.randn(400).astype("f4")
+    h, edges = histogram(data, bins=bins, range=range_)
+    # oracle on the same f32 data (edge resolution is dtype-sensitive)
+    expected, expected_edges = np.histogram(data, bins=bins, range=range_)
+    np.testing.assert_allclose(edges[0], expected_edges)
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_nan_weights_scatter_contract():
+    """NaN weights poison exactly their own bin under method='scatter'
+    (the reference documents NaN weights fill the bin with NaN,
+    xarray.py:72-74)."""
+    data = np.array([0.5, 1.5, 2.5, 0.6], dtype="f4")
+    w = np.array([1.0, np.nan, 2.0, 3.0], dtype="f4")
+    bins = np.array([0.0, 1.0, 2.0, 3.0])
+    h, _ = histogram(data, bins=bins, weights=w, method="scatter")
+    h = np.asarray(h)
+    assert h[0] == 4.0
+    assert np.isnan(h[1])
+    assert h[2] == 2.0
+
+
+def test_multi_input_broadcast_with_weights():
+    """3 inputs of different ranks + weights all broadcast together
+    (reference core.py:366 broadcast_arrays over args+weights)."""
+    np.random.seed(13)
+    a = np.random.randn(6).astype("f4")           # (6,)
+    b = np.random.randn(4, 6).astype("f4")        # (4, 6)
+    c = np.random.randn(1, 6).astype("f4")        # (1, 6)
+    w = np.random.rand(4, 1).astype("f4")         # (4, 1)
+    bins = [np.linspace(-3, 3, n) for n in (5, 6, 7)]
+    h, _ = histogram(a, b, c, bins=bins, weights=w)
+    ab = np.broadcast_to(a, (4, 6)).ravel()
+    bb = b.ravel()
+    cb = np.broadcast_to(c, (4, 6)).ravel()
+    wb = np.broadcast_to(w, (4, 6)).ravel()
+    expected, _ = np.histogramdd([ab, bb, cb], bins=bins, weights=wb)
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-6)
