@@ -124,8 +124,32 @@ def bincount2d_sort(g, weights, n_slots):
     point of ``k`` in the sorted row (weighted: differences of the inclusive
     weight prefix sum). Deterministic and O(C log C); the scalable choice for
     huge ``n_slots`` where one-hot work (O(C·n_slots)) explodes.
+
+    Histograms are additive, so a single huge row is first split into chunk
+    rows that sort independently (XLA parallelizes across rows, not within
+    one), and the chunk partials are summed.
     """
     m, c = g.shape
+    _CHUNK = 1 << 20
+    if m == 1 and c > 2 * _CHUNK:
+        k = -(-c // _CHUNK)
+        pad = k * _CHUNK - c
+        # pad with the trash slot (n_slots - 1); subtract the padding from it
+        gp = jnp.pad(g.reshape(-1), (0, pad), constant_values=n_slots - 1)
+        wp = (
+            jnp.pad(weights.reshape(-1), (0, pad))
+            if weights is not None
+            else None
+        )
+        parts = bincount2d_sort(
+            gp.reshape(k, _CHUNK),
+            wp.reshape(k, _CHUNK) if wp is not None else None,
+            n_slots,
+        )
+        total = parts.sum(axis=0, keepdims=True)
+        if weights is None and pad:
+            total = total.at[0, n_slots - 1].add(-pad)
+        return total
     slots = jnp.arange(n_slots + 1, dtype=g.dtype)
     if weights is None:
         gs = jnp.sort(g, axis=1)
