@@ -118,3 +118,76 @@ def test_factored_weighted_and_3input():
     h2, _ = histogram(*data, bins=bins, method="pallas")
     e2, _ = np.histogramdd([d.ravel() for d in data], bins=bins)
     np.testing.assert_array_equal(np.asarray(h2), e2)
+
+
+def test_factored_per_row_kept_rows_large_grid():
+    """Kept (bystander) rows with a joint grid beyond the direct kernel's
+    8192-slot cap route through the per-row factored kernel (force-folded
+    rows, one (n1, n2) output block per row) — exact counts per row."""
+    rng = np.random.RandomState(10)
+    a = rng.randn(5, 400).astype("f4")
+    b = rng.randn(5, 400).astype("f4")
+    bins_a = np.linspace(-4, 4, 151)   # 150 x 90 = 13500 slots > 8192
+    bins_b = np.linspace(-4, 4, 91)
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], axis=1, method="pallas")
+    assert h.shape == (5, 150, 90)
+    for r in range(5):
+        expected, _, _ = np.histogram2d(a[r], b[r], bins=[bins_a, bins_b])
+        np.testing.assert_array_equal(np.asarray(h)[r], expected)
+
+
+def test_factored_per_row_single_input_many_bins():
+    """Single input, kept rows, > 1024 bins (one_input's cap) and > 8192
+    slots (direct's cap) — per-row factored keeps it fused."""
+    rng = np.random.RandomState(11)
+    data = rng.randn(3, 600).astype("f4")
+    edges = np.linspace(-4, 4, 9001)   # 9000 bins
+    h, _ = histogram(data, bins=edges, axis=1, method="pallas")
+    expected = np.stack([np.histogram(r, bins=edges)[0] for r in data])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_factored_per_row_weighted_and_odd_columns():
+    """Per-row factored with weights and a column count that doesn't divide
+    the fold (exercises the fold-padding bounds mask)."""
+    rng = np.random.RandomState(12)
+    a = rng.randn(4, 333).astype("f4")
+    b = rng.randn(4, 333).astype("f4")
+    w = rng.rand(4, 333).astype("f4")
+    bins_a = np.linspace(-4, 4, 101)
+    bins_b = np.linspace(-4, 4, 121)   # 100*120 = 12000 slots
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], weights=w, axis=1,
+                     method="pallas")
+    for r in range(4):
+        expected, _, _ = np.histogram2d(
+            a[r], b[r], bins=[bins_a, bins_b], weights=w[r].astype("f8")
+        )
+        np.testing.assert_allclose(
+            np.asarray(h)[r], expected, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_direct_kernel_nonfinite_weights():
+    """Kept rows + narrow reduce axis (c < 256) stay on the direct kernel;
+    its nonfinite-weight channels must isolate the poisoned bin."""
+    rng = np.random.RandomState(13)
+    a = rng.uniform(-3.5, 3.5, (3, 60)).astype("f4")
+    b = rng.uniform(-3.5, 3.5, (3, 60)).astype("f4")
+    w = rng.rand(3, 60).astype("f4")
+    a[1, 0], b[1, 0], w[1, 0] = 0.1, 0.1, np.nan
+    bins_a = np.linspace(-4, 4, 40)
+    bins_b = np.linspace(-4, 4, 50)
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], weights=w, axis=1,
+                     method="pallas")
+    h = np.asarray(h)
+    assert np.isnan(h[1]).sum() == 1 and np.isnan(h[[0, 2]]).sum() == 0
+    w_clean = w.copy()
+    w_clean[1, 0] = 0
+    for r in range(3):
+        expected, _, _ = np.histogram2d(
+            a[r], b[r], bins=[bins_a, bins_b], weights=w_clean[r].astype("f8")
+        )
+        fin = ~np.isnan(h[r])
+        np.testing.assert_allclose(
+            h[r][fin], expected[fin], rtol=1e-4, atol=1e-4
+        )

@@ -133,7 +133,10 @@ def _histogram_impl(
         from .ops.pallas_hist import supports as _pallas_supports
 
         m_eff = 1 if full_reduce else arrays_2d[0].shape[0]
-        if _pallas_supports(len(arrays), nbins, m_eff):
+        c_eff = None if full_reduce else arrays_2d[0].shape[1]
+        if _pallas_supports(
+            len(arrays), nbins, m_eff, weighted=has_weights, c=c_eff
+        ):
             method = "pallas"
 
     if method == "pallas":

@@ -27,6 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import nonfinite as _nonfinite
+
 __all__ = [
     "bincount2d",
     "bincount2d_scatter",
@@ -92,6 +94,7 @@ def bincount2d_onehot(g, weights, n_slots, block_size="auto"):
         n_internal = n_slots
     n_blocks = (c + pad) // block
     dtype = _counts_dtype(weights)
+    faithful = _nonfinite.faithful_mode(weights)
 
     slots = jnp.arange(n_internal, dtype=g.dtype)
 
@@ -99,21 +102,41 @@ def bincount2d_onehot(g, weights, n_slots, block_size="auto"):
         if weights is None:
             (gb,) = args
             oh = (gb[:, :, None] == slots).astype(jnp.int32)
-            acc = acc + oh.sum(axis=1)
-        else:
-            gb, wb = args
-            oh = (gb[:, :, None] == slots).astype(wb.dtype)
-            acc = acc + jnp.einsum(
-                "mb,mbn->mn", wb, oh, preferred_element_type=wb.dtype
+            return acc + oh.sum(axis=1), None
+        gb, wb = args
+        oh = gb[:, :, None] == slots
+        ohw = oh.astype(wb.dtype)
+        if not faithful:
+            fin = acc + jnp.einsum(
+                "mb,mbn->mn", wb, ohw, preferred_element_type=wb.dtype
             )
-        return acc, None
+            return fin, None
+        # sanitize + per-slot nonfinite indicator counts (ops/nonfinite.py)
+        flags = _nonfinite.weight_flags(wb)
+        wbf = _nonfinite.sanitize(wb, flags)
+        fin = acc[0] + jnp.einsum(
+            "mb,mbn->mn", wbf, ohw, preferred_element_type=wb.dtype
+        )
+        oh_i = oh.astype(jnp.int32)
+        chans = tuple(
+            a + jnp.einsum("mb,mbn->mn", fl.astype(jnp.int32), oh_i)
+            for a, fl in zip(acc[1:], flags)
+        )
+        return (fin,) + chans, None
 
     g_blocks = g.reshape(m, n_blocks, block).transpose(1, 0, 2)
     xs = (g_blocks,)
     if weights is not None:
         xs = (g_blocks, weights.reshape(m, n_blocks, block).transpose(1, 0, 2))
     acc0 = jnp.zeros((m, n_internal), dtype)
+    if faithful:
+        acc0 = (acc0,) + tuple(
+            jnp.zeros((m, n_internal), jnp.int32) for _ in range(3)
+        )
     acc, _ = jax.lax.scan(step, acc0, xs)
+    if faithful:
+        counts = _nonfinite.resolve(acc[0], acc[1:])
+        return counts[:, :n_slots]
     return acc[:, :n_slots]
 
 
@@ -156,12 +179,36 @@ def bincount2d_sort(g, weights, n_slots):
         pos = jax.vmap(lambda row: jnp.searchsorted(row, slots, side="left"))(gs)
         return jnp.diff(pos, axis=1).astype(jnp.int32)
     gs, ws = jax.lax.sort_key_val(g, weights, dimension=1)
+    faithful = _nonfinite.faithful_mode(weights)
+    if faithful:
+        # a nonfinite weight would poison the whole prefix-sum suffix
+        # (inf - inf / NaN propagation); sanitize + indicator prefix sums
+        flags = _nonfinite.weight_flags(ws)
+        ws = _nonfinite.sanitize(ws, flags)
     cw = jnp.concatenate(
         [jnp.zeros((m, 1), weights.dtype), jnp.cumsum(ws, axis=1)], axis=1
     )
     pos = jax.vmap(lambda row: jnp.searchsorted(row, slots, side="left"))(gs)
     bounds = jnp.take_along_axis(cw, pos, axis=1)
-    return jnp.diff(bounds, axis=1)
+    counts = jnp.diff(bounds, axis=1)
+    if faithful:
+        zero = jnp.zeros((m, 1), jnp.int32)
+        chans = tuple(
+            jnp.diff(
+                jnp.take_along_axis(
+                    jnp.concatenate(
+                        [zero, jnp.cumsum(fl.astype(jnp.int32), axis=1)],
+                        axis=1,
+                    ),
+                    pos,
+                    axis=1,
+                ),
+                axis=1,
+            )
+            for fl in flags
+        )
+        counts = _nonfinite.resolve(counts, chans)
+    return counts
 
 
 METHODS = ("scatter", "onehot", "sort")

@@ -76,25 +76,54 @@ _MAX_TC = int(_os.environ.get("XHIST_MAX_TC", 8192))
 # (hi + lo, ~17 mantissa bits; two bf16 matmuls ≈ 2x unweighted cost);
 # "highest" keeps full-f32 MXU passes (exact, ~5x unweighted cost).
 _WEIGHTED_SPLIT = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split") == "split"
+# Nonfinite-weight faithfulness (see ops/nonfinite.py): matmul counting
+# computes w·onehot products, so a NaN/±inf weight times a *zero* one-hot
+# entry would poison every slot of its row-block (NaN·0 = NaN), where the
+# reference's scatter-add semantics poison only the element's own bin
+# (reference core.py:81 — np.bincount). Faithful mode sanitizes the weights
+# and fuses three indicator channels (nan/+inf/-inf per-slot counts) into the
+# same MXU matmul as extra stacked lhs rows, then resolves IEEE sums per slot.
+# Costs ~1.75x the fast weighted path; XHIST_ASSUME_FINITE_WEIGHTS=1 skips it.
+from . import nonfinite as _nonfinite
+
+_ASSUME_FINITE = _nonfinite.ASSUME_FINITE
+_resolve_nonfinite = _nonfinite.resolve
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def supports(n_inputs, nbins, m) -> bool:
+def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
     """Whether a Pallas kernel handles this problem shape *efficiently*
     (the dispatcher itself accepts anything; 'auto' uses this to decide
-    pallas vs the XLA strategies)."""
+    pallas vs the XLA strategies).
+
+    Weighted faithful-nonfinite mode carries 3 extra per-slot channel
+    accumulators (see _weighted_dot), so its VMEM-resident joint-grid cap is
+    lower. Kept-row (m > 1) problems ride ``one_input``/``direct`` for small
+    grids and the per-row factored kernel for large ones — the latter needs
+    a reasonably wide reduce axis (c) to fill its per-row tiles.
+    """
     n_real = math.prod(int(b) for b in nbins)
+    slot_cap = 1 << 21
+    if weighted and not _ASSUME_FINITE:
+        slot_cap = 1 << 18
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
-        # to ~2M joint slots, as long as the per-element digitize cost
+        # to the slot cap, as long as the per-element digitize cost
         # (Σ n_edges compares on the VPU) stays sane
-        return n_real + 1 <= (1 << 21) and sum(nbins) + n_inputs <= 4096
-    if n_inputs == 1:
-        return nbins[0] <= 1024 or n_real + 1 <= 8192
-    return n_real + 1 <= 8192
+        return n_real + 1 <= slot_cap and sum(nbins) + n_inputs <= 4096
+    if n_inputs == 1 and nbins[0] <= 1024:
+        return True
+    if n_real + 1 <= 8192:
+        return True
+    # per-row factored: large joint grids with kept rows
+    return (
+        n_real + 1 <= slot_cap
+        and sum(nbins) + n_inputs <= 4096
+        and (c is None or c >= 256)
+    )
 
 
 def _max_fill(dtype):
@@ -135,16 +164,23 @@ def _pad2d(x, rows, cols):
     return jnp.pad(x, ((0, rows), (0, cols)))
 
 
-def _fold_rows(arrays, weights, m, c):
+def _fold_rows(arrays, weights, m, c, force_full=False):
     """Split each real row into f synthetic sub-rows so the sublane dim is
     filled with real work (no padded-row compute for small M).
+
+    With ``force_full`` every real row is split into ``_SUB`` sub-rows
+    regardless of M, so a (_SUB, tc) tile holds elements of exactly ONE real
+    row — the layout the per-row factored kernel needs.
 
     Returns (arrays', weights', m_syn, c_syn, f). Caller merges counts with
     ``counts.reshape(m, f, -1).sum(1)``.
     """
-    if m >= _SUB or m == 0 or c == 0:
+    if force_full and m > 0 and c > 0:
+        f = _SUB
+    elif m >= _SUB or m == 0 or c == 0:
         return arrays, weights, m, c, 1
-    f = _SUB // m
+    else:
+        f = _SUB // m
     c_syn = -(-c // f)
     pad = f * c_syn - c
 
@@ -177,30 +213,70 @@ def _split_bf16(w_row):
     return hi, lo
 
 
-def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16):
+def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
     """counts = (onehot ⊙ w) ·ᵉ rhs with f32 weights.
 
-    In split mode: two bf16 matmuls against the hi/lo weight parts; else one
-    full-precision f32 matmul (Mosaic supports DEFAULT and HIGHEST only).
+    Returns ``(counts, channels)`` where ``channels`` is ``None`` unless
+    ``faithful``, else a ``(nan_c, pos_c, neg_c)`` triple of per-slot
+    nonfinite-weight counts with the same shape as ``counts`` (exact below
+    2²⁴ and saturating — only their sign matters to the resolver).
+
+    In split mode: bf16 matmuls against the hi/lo weight parts; else
+    full-precision f32 (Mosaic supports DEFAULT and HIGHEST only). All parts
+    (and the faithful-mode indicator channels) are stacked along the lhs row
+    axis so the whole tile update is ONE MXU dot_general.
     """
+    dn = (((1,), (1,)), ((), ()))
+    nrows = oh_lhs_bool.shape[0]
+    if not faithful:
+        wf = w_row
+        flags = ()
+    else:
+        isnan = w_row != w_row
+        ispos = w_row == jnp.float32(jnp.inf)
+        isneg = w_row == jnp.float32(-jnp.inf)
+        wf = jnp.where(isnan | ispos | isneg, jnp.float32(0), w_row)
+        flags = (isnan, ispos, isneg)
     if _WEIGHTED_SPLIT:
-        lhs = oh_lhs_bool.astype(jnp.bfloat16)
-        hi, lo = _split_bf16(w_row)
-        dn = (((1,), (1,)), ((), ()))
-        return jax.lax.dot_general(
-            lhs * hi, rhs_bf16, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            lhs * lo, rhs_bf16, dimension_numbers=dn,
+        lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
+        hi, lo = _split_bf16(wf)
+        parts = [lhs_b * hi, lhs_b * lo]
+        parts += [lhs_b * f.astype(jnp.bfloat16) for f in flags]
+        lhs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        res = jax.lax.dot_general(
+            lhs, rhs_bf16, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
-    lhs = oh_lhs_bool.astype(jnp.float32) * w_row
-    return jax.lax.dot_general(
-        lhs, rhs_bf16.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        counts = res[:nrows] + res[nrows : 2 * nrows]
+        ch_base = 2 * nrows
+    else:
+        lhs_f = oh_lhs_bool.astype(jnp.float32)
+        parts = [lhs_f * wf]
+        parts += [lhs_f * f.astype(jnp.float32) for f in flags]
+        lhs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        res = jax.lax.dot_general(
+            lhs, rhs_bf16.astype(jnp.float32), dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = res[:nrows]
+        ch_base = nrows
+    if not faithful:
+        return counts, None
+    channels = tuple(
+        res[ch_base + k * nrows : ch_base + (k + 1) * nrows] for k in range(3)
     )
+    return counts, channels
+
+
+_faithful_mode = _nonfinite.faithful_mode
+
+
+def _n_weight_channels(faithful=None):
+    """How many extra per-slot channel outputs the weighted kernels emit."""
+    if faithful is None:
+        faithful = not _ASSUME_FINITE
+    return 3 if faithful else 0
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +298,8 @@ def _bin_rows(a_row, lo_col, hi_col):
 
 
 def _one_input_kernel(
-    a_ref, w_ref, lo_ref, hi_ref, o_ref,
-    *, nb, f, m_true, c_syn, c_real, weighted, reduce_all,
+    a_ref, w_ref, lo_ref, hi_ref, *o_refs,
+    nb, f, m_true, c_syn, c_real, weighted, reduce_all, faithful,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -258,9 +334,11 @@ def _one_input_kernel(
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
         A = _bin_rows(a_row, lo_ref[...], hi_ref[...])
-        counts = _weighted_dot(
-            R_bool, w_ref[...].reshape(1, e_elems), A.astype(jnp.bfloat16)
+        counts, channels = _weighted_dot(
+            R_bool, w_ref[...].reshape(1, e_elems), A.astype(jnp.bfloat16),
+            faithful,
         )
+        outs = (counts,) + (channels or ())
     else:
         # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
         # per-bin counts are exact integer differences, taken by the wrapper
@@ -270,19 +348,23 @@ def _one_input_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (tm, rows_pad) cumulative counts
+        outs = (counts,)
 
     if reduce_all:
         # single output block accumulated over the whole grid; the tm
         # sublane partials are merged by the wrapper
         @pl.when((i == 0) & (j == 0))
         def _init():
-            o_ref[...] = jnp.zeros_like(o_ref)
+            for r in o_refs:
+                r[...] = jnp.zeros_like(r)
     else:
         @pl.when(j == 0)
         def _init():
-            o_ref[...] = jnp.zeros_like(o_ref)
+            for r in o_refs:
+                r[...] = jnp.zeros_like(r)
 
-    o_ref[...] += counts.astype(o_ref.dtype)
+    for r, v in zip(o_refs, outs):
+        r[...] += v.astype(r.dtype)
 
 
 def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
@@ -291,6 +373,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     # folded into synthetic sub-rows either way — one reshape copy beats the
     # 8x row-padding copy a (1, C) pallas operand would need.
     m, c = a2d.shape
+    faithful = _faithful_mode(w2d)
     (a_list, w2d, m_syn, c_syn, f) = _fold_rows([a2d], w2d, m, c)
     a2d = a_list[0]
     weighted_mode = w2d is not None
@@ -304,10 +387,14 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
 
     tm = _SUB
     # A is (nb_out, tm*tc) after lane padding; keep it + temps under the VMEM
-    # budget (weighted mode holds extra split/f32 temps — 1/3 budget to stay
-    # inside the ~16 MB scoped-vmem limit)
+    # budget (weighted mode holds extra split/f32/channel temps — a fraction
+    # of the budget to stay inside the ~16 MB scoped-vmem limit)
     nb_out = _round_up(rows_pad, _LANE)
-    budget = _VMEM_BUDGET if not weighted_mode else _VMEM_BUDGET // 3
+    budget = (
+        _VMEM_BUDGET
+        if not weighted_mode
+        else _VMEM_BUDGET // (3 + _n_weight_channels(faithful))
+    )
     tc = _MAX_TC
     while tm * tc * nb_out * 4 > budget and tc > _LANE:
         tc //= 2
@@ -331,11 +418,17 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
     out_rows = tm if reduce_all else m_pad
-    counts = pl.pallas_call(
+    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    out_spec = pl.BlockSpec(
+        (tm, nb_out),
+        fixed if reduce_all else (lambda i, j: (i, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    results = pl.pallas_call(
         partial(
             _one_input_kernel,
             nb=nb, f=f, m_true=m_syn, c_syn=c_syn, c_real=c,
-            weighted=weighted, reduce_all=reduce_all,
+            weighted=weighted, reduce_all=reduce_all, faithful=faithful,
         ),
         grid=grid,
         in_specs=[
@@ -348,29 +441,35 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
             pl.BlockSpec((nb_out, 1), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb_out, 1), fixed, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (tm, nb_out),
-            fixed if reduce_all else (lambda i, j: (i, 0)),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((out_rows, nb_out), out_dtype),
+        out_specs=[out_spec] * n_outs,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, nb_out), out_dtype)
+        ] + [
+            jax.ShapeDtypeStruct((out_rows, nb_out), jnp.float32)
+        ] * (n_outs - 1),
         interpret=_interpret(),
     )(a2d, w2d, lo, hi)
 
-    if reduce_all:
-        counts = counts.sum(axis=0, keepdims=True)  # merge sublane partials
-        m = 1
-    else:
-        counts = counts[:m_syn]
+    def merge(x):
+        # merge sublane partials / synthetic sub-rows
+        if reduce_all:
+            return x.sum(axis=0, keepdims=True)
+        x = x[:m_syn]
         if f > 1:
-            counts = counts.reshape(m, f, nb_out).sum(axis=1)
+            x = x.reshape(m, f, nb_out).sum(axis=1)
+        return x
+
+    m_out = 1 if reduce_all else m
     if weighted_mode:
-        counts = counts[:, :nb]
+        counts = merge(results[0])[:, :nb]
+        channels = tuple(merge(r)[:, :nb] for r in results[1:]) or None
+        counts = _resolve_nonfinite(counts, channels)
     else:
         # cumulative → per-bin: exact integer differences of edge counts
-        counts = counts[:, :nb] - counts[:, 1 : nb + 1]
+        full = merge(results[0])
+        counts = full[:, :nb] - full[:, 1 : nb + 1]
     # trailing trash column for caller-contract compatibility
-    trash = jnp.zeros((m, 1), counts.dtype)
+    trash = jnp.zeros((m_out, 1), counts.dtype)
     return jnp.concatenate([counts, trash], axis=1)
 
 
@@ -381,8 +480,8 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
 
 def _joint2_kernel(
     a_ref, b_ref, w_ref,
-    alo_ref, ahi_ref, blo_ref, bhi_ref, o_ref,
-    *, nba, nbb, m_true, f, c_syn, c_real, weighted,
+    alo_ref, ahi_ref, blo_ref, bhi_ref, *o_refs,
+    nba, nbb, m_true, f, c_syn, c_real, weighted, faithful,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -411,9 +510,11 @@ def _joint2_kernel(
     if weighted:
         A = _bin_rows(a_row, alo_ref[...], ahi_ref[...]) & ok_row
         B = _bin_rows(b_row, blo_ref[...], bhi_ref[...])
-        counts = _weighted_dot(
-            A, w_ref[...].reshape(1, e_elems), B.astype(jnp.bfloat16)
+        counts, channels = _weighted_dot(
+            A, w_ref[...].reshape(1, e_elems), B.astype(jnp.bfloat16),
+            faithful,
         )
+        outs = (counts,) + (channels or ())
     else:
         # cumulative compare rows (1 op per edge); the joint per-bin counts
         # are the exact 2-D inclusion-exclusion differences, taken by the
@@ -424,12 +525,15 @@ def _joint2_kernel(
             A, B, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (nba_pad, nbb_pad)
+        outs = (counts,)
 
     @pl.when((i == 0) & (j == 0))
     def _init():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        for r in o_refs:
+            r[...] = jnp.zeros_like(r)
 
-    o_ref[...] += counts.astype(o_ref.dtype)
+    for r, v in zip(o_refs, outs):
+        r[...] += v.astype(r.dtype)
 
 
 def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
@@ -437,6 +541,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     # operands keep their natural shape, only tail padding (no-op when the
     # shape is tile-aligned); small-m inputs fold into synthetic sub-rows
     m, c = a2d.shape
+    faithful = _faithful_mode(w2d)
     arrays, w2d, m_syn, c_syn, f = _fold_rows([a2d, b2d], w2d, m, c)
     a2d, b2d = arrays
     weighted_mode = w2d is not None
@@ -457,7 +562,11 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     # (weighted mode holds extra split/f32 temps — see _run_one_input note)
     nba_out = _round_up(nba_pad, _SUB)
     nbb_out = _round_up(nbb_pad, _LANE)
-    budget = _VMEM_BUDGET if not weighted_mode else _VMEM_BUDGET // 3
+    budget = (
+        _VMEM_BUDGET
+        if not weighted_mode
+        else _VMEM_BUDGET // (3 + _n_weight_channels(faithful))
+    )
     tc = _MAX_TC
     while tm * tc * (nba_out + nbb_out) * 4 > budget and tc > _LANE:
         tc //= 2
@@ -490,11 +599,13 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
     moving = lambda i, j: (i, j)
-    counts = pl.pallas_call(
+    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    out_spec = pl.BlockSpec((nba_out, nbb_out), fixed, memory_space=pltpu.VMEM)
+    results = pl.pallas_call(
         partial(
             _joint2_kernel,
             nba=nba, nbb=nbb, m_true=m_syn, f=f, c_syn=c_syn, c_real=c,
-            weighted=weighted,
+            weighted=weighted, faithful=faithful,
         ),
         grid=grid,
         in_specs=[
@@ -509,14 +620,20 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
             pl.BlockSpec((nbb_out, 1), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbb_out, 1), fixed, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (nba_out, nbb_out), fixed, memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nba_out, nbb_out), out_dtype),
+        out_specs=[out_spec] * n_outs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nba_out, nbb_out), out_dtype)
+        ] + [
+            jax.ShapeDtypeStruct((nba_out, nbb_out), jnp.float32)
+        ] * (n_outs - 1),
         interpret=_interpret(),
     )(a2d, b2d, w, alo, ahi, blo, bhi)
 
-    if not weighted_mode:
+    counts = results[0]
+    if weighted_mode:
+        channels = tuple(r[:nba, :nbb] for r in results[1:]) or None
+        counts = _resolve_nonfinite(counts[:nba, :nbb], channels)
+    else:
         # 2-D inclusion-exclusion: cumulative joint → per-bin (exact ints)
         cum = counts[: nba + 1, : nbb + 1]
         counts = cum[:-1, :-1] - cum[1:, :-1] - cum[:-1, 1:] + cum[1:, 1:]
@@ -533,7 +650,8 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
 
 
 def _factored_kernel(
-    *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1, log2_n2, weighted
+    *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1, log2_n2, weighted,
+    per_row, faithful,
 ):
     """Digitize → flat joint slot id g → split into integer sub-indices
     (g1, g2) = (g >> log2_n2, g & (n2-1)) → equality one-hots → one matmul
@@ -541,7 +659,13 @@ def _factored_kernel(
     space. O(Σ n_edges + n1 + n2) VPU work per element; the O(n1·n2) joint
     work rides the MXU. This is how joint grids beyond the direct kernel's
     slot-chunk budget stay on the fused path (the reference's analog is just
-    more dask tasks; SURVEY.md §7 'huge joint grids' hard part)."""
+    more dask tasks; SURVEY.md §7 'huge joint grids' hard part).
+
+    ``per_row``: every (_SUB, tc) tile holds elements of exactly one real
+    (kept) row — the wrapper force-folds rows — and the output block is that
+    row's own (n1, n2) grid, so kept-row (bystander) histograms with big
+    joint grids stay fused too (reference rows = core.py:211-229 kept axes).
+    """
     data_refs = refs[:n_inputs]
     pos = n_inputs
     w_ref = None
@@ -549,7 +673,7 @@ def _factored_kernel(
         w_ref = refs[pos]
         pos += 1
     edge_refs = refs[pos : pos + n_inputs]
-    out_ref = refs[pos + n_inputs]
+    o_refs = refs[pos + n_inputs :]
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -596,40 +720,62 @@ def _factored_kernel(
     A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
 
     if weighted:
-        counts = _weighted_dot(A1, w_ref[...].reshape(1, e_elems), A2)
+        counts, channels = _weighted_dot(
+            A1, w_ref[...].reshape(1, e_elems), A2, faithful
+        )
+        outs = (counts,) + (channels or ())
     else:
         counts = jax.lax.dot_general(
             A1.astype(jnp.bfloat16), A2,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (n1, n2)
+        outs = (counts,)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((j == 0) if per_row else ((i == 0) & (j == 0)))
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for r in o_refs:
+            r[...] = jnp.zeros_like(r)
 
-    out_ref[...] += counts.astype(out_ref.dtype)
+    for r, v in zip(o_refs, outs):
+        r[...] += v.astype(r.dtype)
 
 
-def _run_factored(arrays_2d, edges, weights_2d, nbins):
+def _pick_factorization(n_slots):
+    """Choose the (n1, n2 = 2^k) slot factorization minimizing padded MXU
+    work n1·n2 (== out VMEM), tie-broken by n1+n2 (the VPU one-hot cost)."""
+    best = None
+    for log2_n2 in range(7, max(8, n_slots.bit_length() + 1)):
+        n2 = 1 << log2_n2
+        n1 = _round_up(-(-n_slots // n2), _SUB)
+        key = (n1 * n2, n1 + n2)
+        if best is None or key < best[0]:
+            best = (key, n1, log2_n2)
+    return best[1], best[2]
+
+
+def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
     m, c = arrays_2d[0].shape
     n_inputs = len(arrays_2d)
+    faithful = _faithful_mode(weights_2d)
     arrays_2d, weights_2d, m_syn, c_syn, f = _fold_rows(
-        list(arrays_2d), weights_2d, m, c
+        list(arrays_2d), weights_2d, m, c, force_full=per_row
     )
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
 
-    # power-of-two n2 near sqrt (lane dim ≥ 128), n1 covers the rest
-    log2_n2 = max(7, (n_slots - 1).bit_length() // 2)
+    n1, log2_n2 = _pick_factorization(n_slots)
     n2 = 1 << log2_n2
-    n1 = _round_up(-(-n_slots // n2), _SUB)
 
     weighted = weights_2d is not None
     out_dtype = jnp.int32 if not weighted else jnp.float32
 
     # A1+A2 are ((n1+n2), E); budget like the other kernels
-    budget = _VMEM_BUDGET if not weighted else _VMEM_BUDGET // 3
+    budget = (
+        _VMEM_BUDGET
+        if not weighted
+        else _VMEM_BUDGET // (3 + _n_weight_channels(faithful))
+    )
     tm = _SUB
     tc = _MAX_TC
     while tm * tc * (n1 + n2) * 4 > budget and tc > _LANE:
@@ -660,7 +806,18 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins):
         in_specs.append(pl.BlockSpec(col.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(col)
 
-    counts = pl.pallas_call(
+    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    if per_row:
+        # one (n1, n2) output block per real row; with force_full folding,
+        # row-block i holds exactly real row i's elements
+        out_rows_total = (m_pad // tm) * n1
+        out_spec = pl.BlockSpec((n1, n2), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_rows_total = n1
+        out_spec = pl.BlockSpec((n1, n2), fixed, memory_space=pltpu.VMEM)
+
+    results = pl.pallas_call(
         partial(
             _factored_kernel,
             n_inputs=n_inputs,
@@ -672,16 +829,32 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins):
             n1=n1,
             log2_n2=log2_n2,
             weighted=weighted,
+            per_row=per_row,
+            faithful=faithful,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n1, n2), fixed, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n1, n2), out_dtype),
+        out_specs=[out_spec] * n_outs,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows_total, n2), out_dtype)
+        ] + [
+            jax.ShapeDtypeStruct((out_rows_total, n2), jnp.float32)
+        ] * (n_outs - 1),
         interpret=_interpret(),
     )(*operands)
 
-    flat = counts.reshape(1, n1 * n2)
-    return flat[:, :n_slots]
+    if per_row:
+        def post(x):
+            return x.reshape(m_pad // tm, n1 * n2)[:m, :n_slots]
+    else:
+        def post(x):
+            return x.reshape(1, n1 * n2)[:, :n_slots]
+
+    counts = post(results[0])
+    if weighted:
+        channels = tuple(post(r) for r in results[1:]) or None
+        counts = _resolve_nonfinite(counts, channels)
+    return counts
 
 
 # ---------------------------------------------------------------------------
@@ -691,7 +864,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins):
 
 def _direct_kernel(
     *refs, n_inputs, nbins, m_true, f, c_syn, c_real, slot_chunk,
-    weighted,
+    weighted, faithful,
 ):
     data_refs = refs[:n_inputs]
     pos = n_inputs
@@ -700,7 +873,7 @@ def _direct_kernel(
         w_ref = refs[pos]
         pos += 1
     edge_refs = refs[pos : pos + n_inputs]
-    out_ref = refs[pos + n_inputs]
+    o_refs = refs[pos + n_inputs :]
 
     i = pl.program_id(0)  # row tile
     n = pl.program_id(1)  # slot chunk
@@ -752,28 +925,35 @@ def _direct_kernel(
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     R_bool = m_col == local_row
     if weighted:
-        counts = _weighted_dot(
-            R_bool, w_ref[...].reshape(1, e_elems), G.astype(jnp.bfloat16)
+        counts, channels = _weighted_dot(
+            R_bool, w_ref[...].reshape(1, e_elems), G.astype(jnp.bfloat16),
+            faithful,
         )
+        outs = (counts,) + (channels or ())
     else:
         counts = jax.lax.dot_general(
             R_bool.astype(jnp.bfloat16), G.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        outs = (counts,)
 
     @pl.when(j == 0)
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for r in o_refs:
+            r[...] = jnp.zeros_like(r)
 
-    out_ref[...] += counts.astype(out_ref.dtype)
+    for r, v in zip(o_refs, outs):
+        r[...] += v.astype(r.dtype)
 
 
-def _pick_tiles_direct(n_slots_pad):
+def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False):
     tm = _SUB
     tc = min(_MAX_TC, 512)
     slot_chunk = min(n_slots_pad, 1024)
     budget_elems = _VMEM_BUDGET // 4
+    if weighted:
+        budget_elems //= 2 + _n_weight_channels(faithful)
     while tm * tc * slot_chunk > budget_elems and tc > _LANE:
         tc //= 2
     while tm * tc * slot_chunk > budget_elems and slot_chunk > _LANE:
@@ -787,12 +967,15 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
     n_slots_pad = _round_up(n_slots, _LANE)
+    faithful = _faithful_mode(weights_2d)
 
     arrays_2d, weights_2d, m_syn, c_syn, f = _fold_rows(
         list(arrays_2d), weights_2d, m, c
     )
 
-    tm, tc, slot_chunk = _pick_tiles_direct(n_slots_pad)
+    tm, tc, slot_chunk = _pick_tiles_direct(
+        n_slots_pad, weighted=weights_2d is not None, faithful=faithful
+    )
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
     n_chunks = -(-n_slots_pad // slot_chunk)
@@ -829,7 +1012,11 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
         )
         operands.append(col)
 
-    counts = pl.pallas_call(
+    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    out_spec = pl.BlockSpec(
+        (tm, slot_chunk), lambda i, n, j: (i, n), memory_space=pltpu.VMEM
+    )
+    results = pl.pallas_call(
         partial(
             _direct_kernel,
             n_inputs=n_inputs,
@@ -840,20 +1027,30 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
             c_real=c,
             slot_chunk=slot_chunk,
             weighted=weighted,
+            faithful=faithful,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (tm, slot_chunk), lambda i, n, j: (i, n), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_slots_pad), out_dtype),
+        out_specs=[out_spec] * n_outs,
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, n_slots_pad), out_dtype)
+        ] + [
+            jax.ShapeDtypeStruct((m_pad, n_slots_pad), jnp.float32)
+        ] * (n_outs - 1),
         interpret=_interpret(),
     )(*operands)
 
-    counts = counts[:m_syn]
-    if f > 1:
-        counts = counts.reshape(m, f, n_slots_pad).sum(axis=1)
-    return counts[:, :n_slots]
+    def post(x):
+        x = x[:m_syn]
+        if f > 1:
+            x = x.reshape(m, f, n_slots_pad).sum(axis=1)
+        return x[:, :n_slots]
+
+    counts = post(results[0])
+    if weighted:
+        channels = tuple(post(r) for r in results[1:]) or None
+        counts = _resolve_nonfinite(counts, channels)
+    return counts
 
 
 # ---------------------------------------------------------------------------
@@ -866,6 +1063,7 @@ def _interpret():
 def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
+    n_real = math.prod(int(b) for b in nbins)
     if n_inputs == 1 and nbins[0] <= 1024:
         return _run_one_input(
             arrays_2d[0], weights_2d, edges[0], nbins, reduce_all
@@ -879,8 +1077,15 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
             arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
         )
     if reduce_all:
-        # any input count, any joint grid up to ~2M slots
+        # any input count, any joint grid up to the slot cap
         return _run_factored(arrays_2d, edges, weights_2d, nbins)
+    # kept rows: per-row factored beats direct once the joint grid is big
+    # (direct's G build costs O(n_slots) VPU ops/element, factored O(√slots))
+    # as long as the reduce axis is wide enough to fill per-row tiles
+    if c >= 256 and m > 1 and (n_real + 1 > 1024):
+        return _run_factored(
+            list(arrays_2d), edges, weights_2d, nbins, per_row=True
+        )
     return _run_direct(list(arrays_2d), edges, weights_2d, nbins)
 
 
