@@ -152,3 +152,40 @@ def test_sharded_with_pallas_kernel(method):
     )
     expected = np.histogram2d(T.ravel(), S.ravel(), bins=[ba, bb])[0]
     np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_sharded_kept_rows_large_grid_per_row_factored():
+    """Kept rows + a joint grid past the direct kernel's slot cap: each
+    device's local shard routes through the per-row factored kernel inside
+    shard_map; psum over the reduced mesh axis must still be bit-exact."""
+    rng = np.random.RandomState(7)
+    a = rng.randn(8, 1024).astype("f4")
+    b = rng.randn(8, 1024).astype("f4")
+    bins_a = np.linspace(-4, 4, 121)   # 120 x 80 = 9600 slots > 8192
+    bins_b = np.linspace(-4, 4, 81)
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        a, b, mesh=mesh, in_spec=P("x", "y"), bins=[bins_a, bins_b], axis=1
+    )
+    h = np.asarray(h)
+    assert h.shape == (8, 120, 80)
+    for r in range(8):
+        expected, _, _ = np.histogram2d(a[r], b[r], bins=[bins_a, bins_b])
+        np.testing.assert_array_equal(h[r], expected)
+
+
+def test_sharded_nonfinite_weights_survive_psum():
+    """A NaN-weight bin must stay NaN (and only that bin) after the
+    cross-device psum of partial histograms."""
+    rng = np.random.RandomState(8)
+    data = rng.uniform(-3.5, 3.5, (8, 64)).astype("f4")
+    w = rng.rand(8, 64).astype("f4")
+    data[3, 2], w[3, 2] = 0.1, np.nan
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        data, mesh=mesh, in_spec=P("x", "y"), bins=bins, axis=1, weights=w
+    )
+    h = np.asarray(h)
+    assert np.isnan(h[3]).sum() == 1
+    assert np.isfinite(np.delete(h, 3, axis=0)).all()

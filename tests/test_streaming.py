@@ -1,0 +1,85 @@
+"""StreamingHistogram: chunked accumulation must equal the one-shot result
+(the out-of-core contract the reference gets from dask blockwise + tree-sum,
+reference core.py:403-439; chunking suites test_chunking*.py)."""
+
+import numpy as np
+import pytest
+
+from xhistogram_tpu import StreamingHistogram
+from xhistogram_tpu.core import histogram
+
+bins9 = np.linspace(-4, 4, 10)
+
+
+def chunks(a, n, axis):
+    return np.array_split(a, n, axis=axis)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3, 7])
+def test_streaming_1d_reduce_all(n_chunks):
+    rng = np.random.RandomState(0)
+    data = rng.randn(1000).astype("f4")
+    acc = StreamingHistogram(bins=bins9)
+    for ch in chunks(data, n_chunks, 0):
+        acc.update(ch)
+    h, edges = acc.result()
+    h_ref, _ = histogram(data, bins=bins9)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(h), np.histogram(data, bins9)[0])
+
+
+@pytest.mark.parametrize("n_chunks", [2, 5])
+def test_streaming_kept_axis_weighted_density(n_chunks):
+    rng = np.random.RandomState(1)
+    data = rng.randn(4, 300).astype("f4")
+    w = rng.rand(4, 300).astype("f4")
+    acc = StreamingHistogram(bins=bins9, axis=1)
+    for dc, wc in zip(chunks(data, n_chunks, 1), chunks(w, n_chunks, 1)):
+        acc.update(dc, weights=wc)
+    h, _ = acc.result(density=True)
+    h_ref, _ = histogram(data, bins=bins9, axis=1, weights=w, density=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_joint_2input():
+    rng = np.random.RandomState(2)
+    a = rng.randn(6, 200).astype("f4")
+    b = rng.randn(6, 200).astype("f4")
+    ba = np.linspace(-4, 4, 9)
+    bb = np.linspace(-4, 4, 12)
+    acc = StreamingHistogram(bins=[ba, bb], axis=1)
+    for ac, bc in zip(chunks(a, 4, 1), chunks(b, 4, 1)):
+        acc.update(ac, bc)
+    h, _ = acc.result()
+    h_ref, _ = histogram(a, b, bins=[ba, bb], axis=1)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_ref))
+
+
+def test_streaming_error_contracts():
+    with pytest.raises(TypeError):
+        StreamingHistogram(bins=10)  # int spec needs global data
+    with pytest.raises(TypeError):
+        StreamingHistogram(bins="auto")
+    with pytest.raises(TypeError):
+        StreamingHistogram(bins=bins9, range=(0, 1))
+    acc = StreamingHistogram(bins=[bins9, bins9])
+    with pytest.raises(ValueError):
+        acc.update(np.zeros(4, "f4"))  # one array, two bins entries
+    acc2 = StreamingHistogram(bins=bins9)
+    with pytest.raises(ValueError):
+        acc2.result()
+    acc3 = StreamingHistogram(bins=bins9, axis=1)
+    acc3.update(np.zeros((3, 8), "f4"))
+    with pytest.raises(ValueError):
+        acc3.update(np.zeros((4, 8), "f4"))  # kept axis changed
+
+
+def test_streaming_counts_property_and_chaining():
+    acc = StreamingHistogram(bins=bins9)
+    assert acc.counts is None
+    out = acc.update(np.array([0.5, 0.6], "f4")).update(
+        np.array([0.7], "f4")
+    )
+    assert out is acc
+    assert int(np.asarray(acc.counts).sum()) == 3

@@ -22,6 +22,17 @@ from . import core  # noqa: F401
 from . import ops  # noqa: F401
 from . import parallel  # noqa: F401
 from . import labeled  # noqa: F401
+from . import streaming  # noqa: F401
 from .core import histogram  # noqa: F401
+from .streaming import StreamingHistogram  # noqa: F401
 
-__all__ = ["core", "ops", "parallel", "labeled", "histogram", "__version__"]
+__all__ = [
+    "core",
+    "ops",
+    "parallel",
+    "labeled",
+    "streaming",
+    "histogram",
+    "StreamingHistogram",
+    "__version__",
+]

@@ -72,6 +72,16 @@ import os as _os
 
 _VMEM_BUDGET = int(_os.environ.get("XHIST_VMEM_BUDGET", 24 << 20))
 _MAX_TC = int(_os.environ.get("XHIST_MAX_TC", 8192))
+# Mosaic's scoped-vmem default (16 MB on v5e) is far below the 128 MB of
+# physical VMEM; raise it so the tile budgets above are the real constraint
+# (the budget sizing keeps double-buffering headroom).
+_VMEM_LIMIT = int(_os.environ.get("XHIST_VMEM_LIMIT", 64 << 20))
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 # Weighted-matmul mode: "split" decomposes f32 weights into two bf16 parts
 # (hi + lo, ~17 mantissa bits; two bf16 matmuls ≈ 2x unweighted cost);
 # "highest" keeps full-f32 MXU passes (exact, ~5x unweighted cost).
@@ -216,21 +226,21 @@ def _split_bf16(w_row):
 def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
     """counts = (onehot ⊙ w) ·ᵉ rhs with f32 weights.
 
-    Returns ``(counts, channels)`` where ``channels`` is ``None`` unless
-    ``faithful``, else a ``(nan_c, pos_c, neg_c)`` triple of per-slot
-    nonfinite-weight counts with the same shape as ``counts`` (exact below
-    2²⁴ and saturating — only their sign matters to the resolver).
+    Returns ``(counts, flags)`` where ``flags`` is ``None`` unless
+    ``faithful``, else the ``(isnan, isposinf, isneginf)`` (1, E) masks of
+    the tile's weights (the weights themselves are sanitized to 0 at those
+    positions before the matmul). The caller feeds the flags to
+    ``_accum_channels_when_bad`` for the conditional indicator matmul.
 
-    In split mode: bf16 matmuls against the hi/lo weight parts; else
-    full-precision f32 (Mosaic supports DEFAULT and HIGHEST only). All parts
-    (and the faithful-mode indicator channels) are stacked along the lhs row
-    axis so the whole tile update is ONE MXU dot_general.
+    In split mode: bf16 matmuls against the hi/lo weight parts stacked along
+    the lhs row axis (one MXU dot_general); else one full-precision f32
+    matmul (Mosaic supports DEFAULT and HIGHEST only).
     """
     dn = (((1,), (1,)), ((), ()))
     nrows = oh_lhs_bool.shape[0]
     if not faithful:
         wf = w_row
-        flags = ()
+        flags = None
     else:
         isnan = w_row != w_row
         ispos = w_row == jnp.float32(jnp.inf)
@@ -240,33 +250,44 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
     if _WEIGHTED_SPLIT:
         lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
         hi, lo = _split_bf16(wf)
-        parts = [lhs_b * hi, lhs_b * lo]
-        parts += [lhs_b * f.astype(jnp.bfloat16) for f in flags]
-        lhs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        lhs = jnp.concatenate([lhs_b * hi, lhs_b * lo], axis=0)
         res = jax.lax.dot_general(
             lhs, rhs_bf16, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
-        counts = res[:nrows] + res[nrows : 2 * nrows]
-        ch_base = 2 * nrows
+        counts = res[:nrows] + res[nrows:]
     else:
-        lhs_f = oh_lhs_bool.astype(jnp.float32)
-        parts = [lhs_f * wf]
-        parts += [lhs_f * f.astype(jnp.float32) for f in flags]
-        lhs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        res = jax.lax.dot_general(
+        lhs = oh_lhs_bool.astype(jnp.float32) * wf
+        counts = jax.lax.dot_general(
             lhs, rhs_bf16.astype(jnp.float32), dimension_numbers=dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        counts = res[:nrows]
-        ch_base = nrows
-    if not faithful:
-        return counts, None
-    channels = tuple(
-        res[ch_base + k * nrows : ch_base + (k + 1) * nrows] for k in range(3)
-    )
-    return counts, channels
+    return counts, flags
+
+
+def _accum_channels_when_bad(ch_refs, oh_lhs_bool, flags, rhs_bf16):
+    """Accumulate the three nonfinite-indicator channel matmuls into their
+    output refs ONLY when this tile actually contains a nonfinite weight
+    (data-dependent ``pl.when``): clean data pays one cheap any-reduce per
+    tile instead of a 3-section MXU matmul. Poisoned tiles pay the full
+    stacked matmul once."""
+    isnan, ispos, isneg = flags
+    bad = isnan | ispos | isneg
+
+    @pl.when(jnp.any(bad))
+    def _():
+        nrows = oh_lhs_bool.shape[0]
+        lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
+        lhs = jnp.concatenate(
+            [lhs_b * f.astype(jnp.bfloat16) for f in flags], axis=0
+        )
+        res = jax.lax.dot_general(
+            lhs, rhs_bf16, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for k, r in enumerate(ch_refs):
+            r[...] += res[k * nrows : (k + 1) * nrows].astype(r.dtype)
 
 
 _faithful_mode = _nonfinite.faithful_mode
@@ -277,6 +298,24 @@ def _n_weight_channels(faithful=None):
     if faithful is None:
         faithful = not _ASSUME_FINITE
     return 3 if faithful else 0
+
+
+def _weight_sections(faithful):
+    """lhs sections stacked into the weighted matmul: hi+lo (split) or one
+    f32 pass, plus the 3 faithful indicator channels."""
+    return (2 if _WEIGHTED_SPLIT else 1) + _n_weight_channels(faithful)
+
+
+def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
+    """Column tile from an honest per-tile VMEM estimate (the crude
+    rows·f32 formula over-shrinks weighted tiles ~4x — the stacked lhs is
+    bf16 and only one operand side grows with the section count)."""
+    tc = _MAX_TC
+    while tm * tc * bytes_per_elem + fixed_bytes > _VMEM_BUDGET and tc > _LANE:
+        tc //= 2
+    while tc > _LANE and tc >= 2 * max(c_syn, 1):
+        tc //= 2
+    return tc
 
 
 # ---------------------------------------------------------------------------
@@ -330,15 +369,16 @@ def _one_input_kernel(
 
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     R_bool = (m_col == local_row) & in_bounds
+    flags = rhs_bf = None
     if weighted:
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
-        A = _bin_rows(a_row, lo_ref[...], hi_ref[...])
-        counts, channels = _weighted_dot(
-            R_bool, w_ref[...].reshape(1, e_elems), A.astype(jnp.bfloat16),
-            faithful,
+        rhs_bf = _bin_rows(a_row, lo_ref[...], hi_ref[...]).astype(
+            jnp.bfloat16
         )
-        outs = (counts,) + (channels or ())
+        counts, flags = _weighted_dot(
+            R_bool, w_ref[...].reshape(1, e_elems), rhs_bf, faithful
+        )
     else:
         # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
         # per-bin counts are exact integer differences, taken by the wrapper
@@ -348,7 +388,6 @@ def _one_input_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (tm, rows_pad) cumulative counts
-        outs = (counts,)
 
     if reduce_all:
         # single output block accumulated over the whole grid; the tm
@@ -363,8 +402,9 @@ def _one_input_kernel(
             for r in o_refs:
                 r[...] = jnp.zeros_like(r)
 
-    for r, v in zip(o_refs, outs):
-        r[...] += v.astype(r.dtype)
+    o_refs[0][...] += counts.astype(o_refs[0].dtype)
+    if flags is not None:
+        _accum_channels_when_bad(o_refs[1:], R_bool, flags, rhs_bf)
 
 
 def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
@@ -386,20 +426,23 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         hi = lo  # unused in cumulative mode
 
     tm = _SUB
-    # A is (nb_out, tm*tc) after lane padding; keep it + temps under the VMEM
-    # budget (weighted mode holds extra split/f32/channel temps — a fraction
-    # of the budget to stay inside the ~16 MB scoped-vmem limit)
-    nb_out = _round_up(rows_pad, _LANE)
-    budget = (
-        _VMEM_BUDGET
-        if not weighted_mode
-        else _VMEM_BUDGET // (3 + _n_weight_channels(faithful))
-    )
-    tc = _MAX_TC
-    while tm * tc * nb_out * 4 > budget and tc > _LANE:
-        tc //= 2
-    while tc > _LANE and tc >= 2 * max(c_syn, 1):
-        tc //= 2  # don't pad columns beyond the (folded) row width
+    # A keeps only sublane-rounded rows (the VPU compare/cast cost scales
+    # with A's row count; Mosaic masks the non-lane-aligned output tiles
+    # internally — probed on-chip). Budget: weighted mode uses honest byte
+    # accounting — data f32 + A as bool+bf16 + stacked bf16 lhs + temps.
+    nb_out = rows_pad
+    if weighted_mode:
+        s_tot = _weight_sections(faithful)
+        n_ch = _n_weight_channels(faithful)
+        bpe = 20 + 3 * nb_out + 2 * s_tot * tm
+        fixed = (1 + n_ch) * tm * nb_out * 4
+        tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
+    else:
+        tc = _MAX_TC
+        while tm * tc * nb_out * 4 > _VMEM_BUDGET and tc > _LANE:
+            tc //= 2
+        while tc > _LANE and tc >= 2 * max(c_syn, 1):
+            tc //= 2  # don't pad columns beyond the (folded) row width
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
     a2d = _pad2d(a2d, m_pad - m_syn, c_pad - c_syn)
@@ -448,6 +491,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
             jax.ShapeDtypeStruct((out_rows, nb_out), jnp.float32)
         ] * (n_outs - 1),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(a2d, w2d, lo, hi)
 
     def merge(x):
@@ -507,14 +551,15 @@ def _joint2_kernel(
         & (sub * c_syn + cols < c_real)
     )
 
+    flags = A_lhs = rhs_bf = None
     if weighted:
-        A = _bin_rows(a_row, alo_ref[...], ahi_ref[...]) & ok_row
-        B = _bin_rows(b_row, blo_ref[...], bhi_ref[...])
-        counts, channels = _weighted_dot(
-            A, w_ref[...].reshape(1, e_elems), B.astype(jnp.bfloat16),
-            faithful,
+        A_lhs = _bin_rows(a_row, alo_ref[...], ahi_ref[...]) & ok_row
+        rhs_bf = _bin_rows(b_row, blo_ref[...], bhi_ref[...]).astype(
+            jnp.bfloat16
         )
-        outs = (counts,) + (channels or ())
+        counts, flags = _weighted_dot(
+            A_lhs, w_ref[...].reshape(1, e_elems), rhs_bf, faithful
+        )
     else:
         # cumulative compare rows (1 op per edge); the joint per-bin counts
         # are the exact 2-D inclusion-exclusion differences, taken by the
@@ -525,15 +570,15 @@ def _joint2_kernel(
             A, B, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (nba_pad, nbb_pad)
-        outs = (counts,)
 
     @pl.when((i == 0) & (j == 0))
     def _init():
         for r in o_refs:
             r[...] = jnp.zeros_like(r)
 
-    for r, v in zip(o_refs, outs):
-        r[...] += v.astype(r.dtype)
+    o_refs[0][...] += counts.astype(o_refs[0].dtype)
+    if flags is not None:
+        _accum_channels_when_bad(o_refs[1:], A_lhs, flags, rhs_bf)
 
 
 def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
@@ -559,19 +604,21 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
 
     tm = _SUB
     # keep A+B+temps under the VMEM budget, accounting for lane padding
-    # (weighted mode holds extra split/f32 temps — see _run_one_input note)
+    # (weighted mode: honest bytes — A carries the stacked bf16 sections)
     nba_out = _round_up(nba_pad, _SUB)
-    nbb_out = _round_up(nbb_pad, _LANE)
-    budget = (
-        _VMEM_BUDGET
-        if not weighted_mode
-        else _VMEM_BUDGET // (3 + _n_weight_channels(faithful))
-    )
-    tc = _MAX_TC
-    while tm * tc * (nba_out + nbb_out) * 4 > budget and tc > _LANE:
-        tc //= 2
-    while tc > _LANE and tc >= 2 * max(c_syn, 1):
-        tc //= 2  # don't pad columns beyond the (folded) row width
+    nbb_out = nbb_pad  # sublane-rounded only; Mosaic masks non-128 lanes
+    if weighted_mode:
+        s_tot = _weight_sections(faithful)
+        n_ch = _n_weight_channels(faithful)
+        bpe = 28 + (1 + 2 * s_tot) * nba_out + 3 * nbb_out
+        fixed = (1 + n_ch) * nba_out * nbb_out * 4
+        tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
+    else:
+        tc = _MAX_TC
+        while tm * tc * (nba_out + nbb_out) * 4 > _VMEM_BUDGET and tc > _LANE:
+            tc //= 2
+        while tc > _LANE and tc >= 2 * max(c_syn, 1):
+            tc //= 2  # don't pad columns beyond the (folded) row width
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
 
@@ -627,6 +674,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
             jax.ShapeDtypeStruct((nba_out, nbb_out), jnp.float32)
         ] * (n_outs - 1),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(a2d, b2d, w, alo, ahi, blo, bhi)
 
     counts = results[0]
@@ -719,26 +767,26 @@ def _factored_kernel(
     A1 = r1 == g1  # (n1, E) equality one-hot
     A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
 
+    flags = None
     if weighted:
-        counts, channels = _weighted_dot(
+        counts, flags = _weighted_dot(
             A1, w_ref[...].reshape(1, e_elems), A2, faithful
         )
-        outs = (counts,) + (channels or ())
     else:
         counts = jax.lax.dot_general(
             A1.astype(jnp.bfloat16), A2,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (n1, n2)
-        outs = (counts,)
 
     @pl.when((j == 0) if per_row else ((i == 0) & (j == 0)))
     def _init():
         for r in o_refs:
             r[...] = jnp.zeros_like(r)
 
-    for r, v in zip(o_refs, outs):
-        r[...] += v.astype(r.dtype)
+    o_refs[0][...] += counts.astype(o_refs[0].dtype)
+    if flags is not None:
+        _accum_channels_when_bad(o_refs[1:], A1, flags, A2)
 
 
 def _pick_factorization(n_slots):
@@ -770,18 +818,20 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
     weighted = weights_2d is not None
     out_dtype = jnp.int32 if not weighted else jnp.float32
 
-    # A1+A2 are ((n1+n2), E); budget like the other kernels
-    budget = (
-        _VMEM_BUDGET
-        if not weighted
-        else _VMEM_BUDGET // (3 + _n_weight_channels(faithful))
-    )
+    # A1+A2 are ((n1+n2), E); weighted mode adds the stacked bf16 sections
     tm = _SUB
-    tc = _MAX_TC
-    while tm * tc * (n1 + n2) * 4 > budget and tc > _LANE:
-        tc //= 2
-    while tc > _LANE and tc >= 2 * max(c_syn, 1):
-        tc //= 2
+    if weighted:
+        s_tot = _weight_sections(faithful)
+        n_ch = _n_weight_channels(faithful)
+        bpe = 32 + 4 * n_inputs + (1 + 2 * s_tot) * n1 + 3 * n2
+        fixed = (1 + n_ch) * n1 * n2 * 4
+        tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
+    else:
+        tc = _MAX_TC
+        while tm * tc * (n1 + n2) * 4 > _VMEM_BUDGET and tc > _LANE:
+            tc //= 2
+        while tc > _LANE and tc >= 2 * max(c_syn, 1):
+            tc //= 2
 
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
@@ -841,6 +891,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
             jax.ShapeDtypeStruct((out_rows_total, n2), jnp.float32)
         ] * (n_outs - 1),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*operands)
 
     if per_row:
@@ -924,27 +975,27 @@ def _direct_kernel(
 
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     R_bool = m_col == local_row
+    flags = None
+    G_bf = G.astype(jnp.bfloat16)
     if weighted:
-        counts, channels = _weighted_dot(
-            R_bool, w_ref[...].reshape(1, e_elems), G.astype(jnp.bfloat16),
-            faithful,
+        counts, flags = _weighted_dot(
+            R_bool, w_ref[...].reshape(1, e_elems), G_bf, faithful
         )
-        outs = (counts,) + (channels or ())
     else:
         counts = jax.lax.dot_general(
-            R_bool.astype(jnp.bfloat16), G.astype(jnp.bfloat16),
+            R_bool.astype(jnp.bfloat16), G_bf,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs = (counts,)
 
     @pl.when(j == 0)
     def _init():
         for r in o_refs:
             r[...] = jnp.zeros_like(r)
 
-    for r, v in zip(o_refs, outs):
-        r[...] += v.astype(r.dtype)
+    o_refs[0][...] += counts.astype(o_refs[0].dtype)
+    if flags is not None:
+        _accum_channels_when_bad(o_refs[1:], R_bool, flags, G_bf)
 
 
 def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False):
@@ -1038,6 +1089,7 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
             jax.ShapeDtypeStruct((m_pad, n_slots_pad), jnp.float32)
         ] * (n_outs - 1),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*operands)
 
     def post(x):
@@ -1079,10 +1131,12 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     if reduce_all:
         # any input count, any joint grid up to the slot cap
         return _run_factored(arrays_2d, edges, weights_2d, nbins)
-    # kept rows: per-row factored beats direct once the joint grid is big
-    # (direct's G build costs O(n_slots) VPU ops/element, factored O(√slots))
-    # as long as the reduce axis is wide enough to fill per-row tiles
-    if c >= 256 and m > 1 and (n_real + 1 > 1024):
+    # kept rows: per-row factored beats direct at every measured grid size
+    # (direct's G build costs O(n_slots) VPU ops/element and its matmul
+    # O(tm·n_slots) MACs, factored O(√slots) VPU + O(slots) MACs; measured
+    # 7.3 vs 6.3 GB/s at 256 slots, 7x at 7200 — scripts/perrow_perf.py) as
+    # long as the reduce axis is wide enough to fill its per-row tiles
+    if c >= 256 and m > 1:
         return _run_factored(
             list(arrays_2d), edges, weights_2d, nbins, per_row=True
         )

@@ -1,0 +1,121 @@
+"""Out-of-core histograms: stream host-resident chunks through the chip.
+
+The reference scales beyond memory with dask: ``blockwise`` maps the kernel
+over chunks and the scheduler tree-sums the partial histograms (reference
+core.py:403-439). On one host + one (or a mesh of) TPU(s), the same
+decomposition is a plain loop — histograms commute with concatenation along
+*reduced* axes — so ``StreamingHistogram`` accumulates per-chunk device
+partials and defers density normalization to the end (exactly where the
+reference normalizes: after the tree-sum, core.py:439-462).
+
+    acc = StreamingHistogram(bins=[t_edges, s_edges], axis=1)
+    for T_chunk, S_chunk, w_chunk in loader:          # e.g. zarr/netCDF reads
+        acc.update(T_chunk, S_chunk, weights=w_chunk)
+    h, edges = acc.result(density=True)
+
+Chunks concatenate along the reduced axes; kept (bystander) axes must have
+identical shape in every chunk (they index the same output rows — the dask
+analog is chunking only the reduced dims; chunked *kept* dims in the
+reference yield independent output blocks, which here is just multiple
+accumulators or one call per kept-block).
+
+Like the traced/dask bins guard (reference core.py:377-381), int/str bin
+specs are rejected: resolving them needs global data the stream cannot see.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import bins as _bins_mod
+from .core import histogram
+
+__all__ = ["StreamingHistogram"]
+
+
+class StreamingHistogram:
+    """Accumulate an axis-selective joint histogram over data chunks.
+
+    Parameters mirror ``core.histogram`` (reference core.py:250-258) except
+    ``bins`` must be explicit edge arrays (one per input) and ``density``
+    moves to ``result()``.
+    """
+
+    def __init__(self, bins, *, range=None, axis=None, method="auto",
+                 block_size="auto"):
+        bins_list = bins if isinstance(bins, (list, tuple)) else [bins]
+        for b in bins_list:
+            if not hasattr(b, "ndim") or np.ndim(b) != 1:
+                raise TypeError(
+                    "StreamingHistogram requires explicit 1-D bin-edge "
+                    "arrays (int/str specs need global data the stream "
+                    "cannot see — same contract as the reference's dask "
+                    "guard, reference core.py:377-381)"
+                )
+        self._bins = [np.asarray(b) for b in bins_list]
+        self._n_inputs = len(self._bins)
+        if range is not None:
+            raise TypeError(
+                "range= is meaningless with explicit edge arrays; bake the "
+                "range into the edges"
+            )
+        self._axis = axis
+        self._method = method
+        self._block_size = block_size
+        self._counts = None
+        self._edges = None
+
+    def update(self, *args, weights=None):
+        """Add one chunk (N input arrays [+ weights], reduced-axis slice)."""
+        if len(args) != self._n_inputs:
+            raise ValueError(
+                f"expected {self._n_inputs} input arrays (one per bins "
+                f"entry), got {len(args)}"
+            )
+        h, edges = histogram(
+            *args,
+            bins=self._bins,
+            axis=self._axis,
+            weights=weights,
+            density=False,
+            method=self._method,
+            block_size=self._block_size,
+        )
+        if self._counts is None:
+            self._counts = h
+            self._edges = edges
+        else:
+            if h.shape != self._counts.shape:
+                raise ValueError(
+                    f"chunk produced kept-axes/bin shape {h.shape}, "
+                    f"accumulator holds {self._counts.shape}: chunks may "
+                    "only vary along reduced axes"
+                )
+            self._counts = self._counts + h
+        return self
+
+    @property
+    def counts(self):
+        """Accumulated counts so far (device array), or None before any
+        update."""
+        return self._counts
+
+    def result(self, density=False):
+        """(hist, bin_edges) over everything seen so far.
+
+        ``density=True`` normalizes per bystander row over the *global*
+        counts (reference core.py:444-462 semantics — NaN rows normalize
+        independently), which is why density cannot be computed per chunk.
+        """
+        if self._counts is None:
+            raise ValueError("result() before any update()")
+        h = self._counts
+        if density:
+            n_inputs = self._n_inputs
+            bin_axes = tuple(range(-n_inputs, 0))
+            area = jnp.asarray(_bins_mod.bin_areas(self._edges), jnp.float32)
+            totals = h.sum(axis=bin_axes, keepdims=True)
+            h = h / area / totals
+        return h, self._edges
