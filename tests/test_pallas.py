@@ -191,3 +191,23 @@ def test_direct_kernel_nonfinite_weights():
         np.testing.assert_allclose(
             h[r][fin], expected[fin], rtol=1e-4, atol=1e-4
         )
+
+
+def test_factored_n1_chunking(monkeypatch):
+    """Huge joint grids stream n1-row chunks of the slot space (HBM-resident
+    full grid). Force chunking on a small grid via the out-budget knob and
+    check bit-exactness for both reduce-all and per-row layouts."""
+    monkeypatch.setenv("XHIST_OUT_BUDGET", str(64 * 1024))
+    rng = np.random.RandomState(14)
+    a = rng.randn(4, 500).astype("f4")
+    b = rng.randn(4, 500).astype("f4")
+    bins_a = np.linspace(-4, 4, 201)
+    bins_b = np.linspace(-4, 4, 181)   # 36000 slots -> several n1 chunks
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], method="pallas")
+    expected, _, _ = np.histogram2d(a.ravel(), b.ravel(),
+                                    bins=[bins_a, bins_b])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+    hr, _ = histogram(a, b, bins=[bins_a, bins_b], axis=1, method="pallas")
+    for r in range(4):
+        er, _, _ = np.histogram2d(a[r], b[r], bins=[bins_a, bins_b])
+        np.testing.assert_array_equal(np.asarray(hr)[r], er)

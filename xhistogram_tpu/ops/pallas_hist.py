@@ -27,12 +27,15 @@ Three specializations, auto-dispatched by ``pallas_histogram2d``:
     the O(Na·Nb) joint work runs on the MXU at full utilization — no joint
     slot-count cap.
 
-``factored`` (any input count, full reduction; joint grids up to ~2M slots)
+``factored`` (any input count; joint grids to ~8M slots, n1-chunked in HBM)
     Digitize to the flat joint slot id, split it into two integer
     sub-indices, equality one-hots on each, one matmul over the factorized
-    (n1, n2) slot space — O(Σ n_edges + √slots) VPU work per element.
+    (n1, n2) slot space — O(Σ n_edges + √slots) VPU work per element. Runs
+    reduce-all or per kept row (rows force-folded so each tile holds one
+    real row); grids whose (n1, n2) output exceeds the VMEM budget stream
+    n1-row chunks against an HBM-resident grid.
 
-``direct`` (kept rows with multi-input joint grids; slots ≤ 8192)
+``direct`` (kept rows with narrow reduce axes; slots ≤ 8192)
     Flat joint slot one-hot ``G(slot_chunk, E)`` against the row one-hot
     ``R(tm, E)``; slot-chunked grid bounds VMEM (the Pallas analog of the
     reference's ``block_size`` memory bound, core.py:86-134).
@@ -116,9 +119,13 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
     a reasonably wide reduce axis (c) to fill its per-row tiles.
     """
     n_real = math.prod(int(b) for b in nbins)
-    slot_cap = 1 << 21
-    if weighted and not _ASSUME_FINITE:
-        slot_cap = 1 << 18
+    # The n1-chunked factored kernel handles any grid; the cap is where the
+    # O(slots)/element MXU work approaches the XLA-sort fallback (measured:
+    # factored 0.13 GB/s vs sort 0.01 at 4M slots on v5e — crossover is far
+    # beyond 8M; sum(nbins) <= 4096 usually binds first for <= 2 inputs).
+    slot_cap = 1 << 23
+    if weighted:
+        slot_cap = 1 << 22  # 2 matmul sections
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
         # to the slot cap, as long as the per-element digitize cost
@@ -130,7 +137,7 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
         return True
     # per-row factored: large joint grids with kept rows
     return (
-        n_real + 1 <= slot_cap
+        n_real + 1 <= slot_cap // 2
         and sum(nbins) + n_inputs <= 4096
         and (c is None or c >= 256)
     )
@@ -693,12 +700,12 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
 
 
 # ---------------------------------------------------------------------------
-# factored: any input count, full reduction, any joint grid up to ~2M slots
+# factored: any input count, reduce-all or per kept row, grids to ~8M slots
 # ---------------------------------------------------------------------------
 
 
 def _factored_kernel(
-    *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1, log2_n2, weighted,
+    *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1c, log2_n2, weighted,
     per_row, faithful,
 ):
     """Digitize → flat joint slot id g → split into integer sub-indices
@@ -713,6 +720,10 @@ def _factored_kernel(
     (kept) row — the wrapper force-folds rows — and the output block is that
     row's own (n1, n2) grid, so kept-row (bystander) histograms with big
     joint grids stay fused too (reference rows = core.py:211-229 kept axes).
+
+    The middle grid dim chunks n1 into ``n1c``-row pieces so the VMEM output
+    block stays bounded for huge joint grids (the full (n1, n2) grid lives
+    in HBM) — the fused-path analog of streaming over the slot space.
     """
     data_refs = refs[:n_inputs]
     pos = n_inputs
@@ -724,7 +735,8 @@ def _factored_kernel(
     o_refs = refs[pos + n_inputs :]
 
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    n = pl.program_id(1)  # n1 chunk
+    j = pl.program_id(2)
     tm, tc = data_refs[0].shape
     e_elems = tm * tc
     n2 = 1 << log2_n2
@@ -762,9 +774,9 @@ def _factored_kernel(
     g1 = g >> log2_n2  # (1, E) integer sub-indices
     g2 = g & (n2 - 1)
 
-    r1 = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
+    r1 = n * n1c + jax.lax.broadcasted_iota(jnp.int32, (n1c, 1), 0)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
-    A1 = r1 == g1  # (n1, E) equality one-hot
+    A1 = r1 == g1  # (n1c, E) equality one-hot for this n1 chunk
     A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
 
     flags = None
@@ -777,7 +789,7 @@ def _factored_kernel(
             A1.astype(jnp.bfloat16), A2,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n1, n2)
+        )  # (n1c, n2)
 
     @pl.when((j == 0) if per_row else ((i == 0) & (j == 0)))
     def _init():
@@ -817,18 +829,29 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
 
     weighted = weights_2d is not None
     out_dtype = jnp.int32 if not weighted else jnp.float32
+    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
 
-    # A1+A2 are ((n1+n2), E); weighted mode adds the stacked bf16 sections
+    # Chunk n1 so the VMEM-resident output block(s) stay bounded — huge
+    # joint grids (> ~2M slots) keep the full (n1, n2) grid in HBM and
+    # stream n1c-row pieces (inputs are re-read once per chunk; the MXU
+    # work, O(slots)/element, dominates at those sizes anyway).
+    n1c = n1
+    out_budget = int(_os.environ.get("XHIST_OUT_BUDGET", 8 << 20))
+    while n_outs * n1c * n2 * 4 > out_budget and n1c > _SUB:
+        n1c = _round_up(-(-n1c // 2), _SUB)
+    n_chunks = -(-n1 // n1c)
+    n1_pad = n_chunks * n1c
+
+    # A1+A2 are ((n1c+n2), E); weighted mode adds the stacked bf16 sections
     tm = _SUB
     if weighted:
         s_tot = _weight_sections(faithful)
-        n_ch = _n_weight_channels(faithful)
-        bpe = 32 + 4 * n_inputs + (1 + 2 * s_tot) * n1 + 3 * n2
-        fixed = (1 + n_ch) * n1 * n2 * 4
+        bpe = 32 + 4 * n_inputs + (1 + 2 * s_tot) * n1c + 3 * n2
+        fixed = n_outs * n1c * n2 * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
         tc = _MAX_TC
-        while tm * tc * (n1 + n2) * 4 > _VMEM_BUDGET and tc > _LANE:
+        while tm * tc * (n1c + n2) * 4 > _VMEM_BUDGET and tc > _LANE:
             tc //= 2
         while tc > _LANE and tc >= 2 * max(c_syn, 1):
             tc //= 2
@@ -841,9 +864,9 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
 
     edge_ops = [_edges_col(e, pad_to=_SUB)[0] for e in edges]
 
-    grid = (m_pad // tm, c_pad // tc)
-    fixed = lambda i, j: (0, 0)
-    moving = lambda i, j: (i, j)
+    grid = (m_pad // tm, n_chunks, c_pad // tc)
+    fixed = lambda i, n, j: (0, 0)
+    moving = lambda i, n, j: (i, j)
     in_specs = [
         pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM)
         for _ in range(n_inputs)
@@ -856,16 +879,20 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
         in_specs.append(pl.BlockSpec(col.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(col)
 
-    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
     if per_row:
-        # one (n1, n2) output block per real row; with force_full folding,
-        # row-block i holds exactly real row i's elements
-        out_rows_total = (m_pad // tm) * n1
-        out_spec = pl.BlockSpec((n1, n2), lambda i, j: (i, 0),
-                                memory_space=pltpu.VMEM)
+        # one (n1_pad, n2) output group per real row; with force_full
+        # folding, row-block i holds exactly real row i's elements
+        out_rows_total = (m_pad // tm) * n1_pad
+        out_spec = pl.BlockSpec(
+            (n1c, n2),
+            lambda i, n, j: (i * n_chunks + n, 0),
+            memory_space=pltpu.VMEM,
+        )
     else:
-        out_rows_total = n1
-        out_spec = pl.BlockSpec((n1, n2), fixed, memory_space=pltpu.VMEM)
+        out_rows_total = n1_pad
+        out_spec = pl.BlockSpec(
+            (n1c, n2), lambda i, n, j: (n, 0), memory_space=pltpu.VMEM
+        )
 
     results = pl.pallas_call(
         partial(
@@ -876,7 +903,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
             m_true=m_syn,
             c_syn=c_syn,
             c_real=c,
-            n1=n1,
+            n1c=n1c,
             log2_n2=log2_n2,
             weighted=weighted,
             per_row=per_row,
@@ -896,10 +923,10 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
 
     if per_row:
         def post(x):
-            return x.reshape(m_pad // tm, n1 * n2)[:m, :n_slots]
+            return x.reshape(m_pad // tm, n1_pad * n2)[:m, :n_slots]
     else:
         def post(x):
-            return x.reshape(1, n1 * n2)[:, :n_slots]
+            return x.reshape(1, n1_pad * n2)[:, :n_slots]
 
     counts = post(results[0])
     if weighted:
