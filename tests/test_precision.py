@@ -1,0 +1,70 @@
+"""Weighted-sum precision: split-bf16 vs exact-f32 ('highest') modes, and
+the Kahan-compensated cross-tile accumulation that ships with highest mode
+(reference parity note: numpy accumulates weighted histograms in f64;
+highest+Kahan gets f32 totals to O(1) ulp of the f64 result)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from xhistogram_tpu.core import histogram
+from xhistogram_tpu.ops import pallas_hist as ph
+
+
+def test_kahan_formula_beats_naive_accumulation():
+    """Simulate the kernel's cross-tile accumulation: thousands of f32 tile
+    partials whose naive running sum drifts; the _kahan_add recurrence must
+    track the f64 truth to ~1 ulp."""
+    partials = np.full(4096, 1024.125, dtype=np.float32)
+    true = float(np.sum(partials.astype(np.float64)))
+
+    naive = np.float32(0.0)
+    for p in partials:
+        naive = np.float32(naive + p)
+
+    class Ref:
+        def __init__(self, v):
+            self.v = jnp.asarray(v)
+
+        def __getitem__(self, k):
+            return self.v
+
+        def __setitem__(self, k, v):
+            self.v = v
+
+    o, c = Ref(np.float32(0.0)), Ref(np.float32(0.0))
+    for p in partials:
+        ph._kahan_add(o, c, jnp.float32(p))
+    kahan = float(o.v - c.v)
+
+    err_naive = abs(float(naive) - true)
+    err_kahan = abs(kahan - true)
+    assert err_kahan <= max(1e-1, err_naive / 100), (err_kahan, err_naive)
+    assert err_kahan < 0.26  # ~1 ulp at 4.2e6
+
+
+def test_highest_mode_weighted_end_to_end(monkeypatch):
+    """highest mode (exact f32 matmuls + Kahan) matches the f64 numpy
+    oracle much tighter than split mode's ~17-bit weight representation."""
+    monkeypatch.setattr(ph, "_WEIGHTED_SPLIT", False)
+    monkeypatch.setattr(ph, "_MAX_TC", 256)  # force many accumulation steps
+    rng = np.random.RandomState(0)
+    data = rng.uniform(-3.5, 3.5, size=(8, 4096)).astype("f4")
+    w = (rng.rand(8, 4096) * 100).astype("f4")
+    edges = np.linspace(-4, 4, 10)
+    h, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    expected = np.histogram(data.ravel(), bins=edges,
+                            weights=w.ravel().astype("f8"))[0]
+    np.testing.assert_allclose(np.asarray(h)[: 9], expected, rtol=3e-7)
+
+
+def test_split_mode_documented_tolerance():
+    rng = np.random.RandomState(1)
+    data = rng.uniform(-3.5, 3.5, size=(8, 2048)).astype("f4")
+    w = rng.rand(8, 2048).astype("f4")
+    edges = np.linspace(-4, 4, 10)
+    h, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    expected = np.histogram(data.ravel(), bins=edges,
+                            weights=w.ravel().astype("f8"))[0]
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)

@@ -313,6 +313,41 @@ def _weight_sections(faithful):
     return (2 if _WEIGHTED_SPLIT else 1) + _n_weight_channels(faithful)
 
 
+def _kahan():
+    """Compensated cross-tile accumulation for weighted counts. On by
+    default in 'highest' precision mode (whose per-tile matmul sums are
+    exact f32, leaving cross-tile accumulation as the only error source —
+    Kahan reduces it from O(n_tiles) ulp to O(1) ulp, i.e. near-f64
+    totals); split mode is representation-limited (~17-bit weights) so the
+    compensation would be noise."""
+    return not _WEIGHTED_SPLIT
+
+
+def _kahan_add(o_ref, c_ref, v):
+    """o += v with Kahan compensation held in c (c is the running error to
+    subtract; wrappers return o - c merged)."""
+    y = v - c_ref[...]
+    t = o_ref[...] + y
+    c_ref[...] = (t - o_ref[...]) - y
+    o_ref[...] = t
+
+
+def _accum_weighted(o_refs, counts, kahan):
+    """Accumulate the weighted finite part; returns the channel refs that
+    follow the counts (+compensation) outputs."""
+    if kahan:
+        _kahan_add(o_refs[0], o_refs[1], counts)
+        return o_refs[2:]
+    o_refs[0][...] += counts
+    return o_refs[1:]
+
+
+def _weighted_extra_outputs(faithful):
+    """Extra output operands beyond counts: optional Kahan compensation
+    block + faithful channels."""
+    return (1 if _kahan() else 0) + _n_weight_channels(faithful)
+
+
 def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
     """Column tile from an honest per-tile VMEM estimate (the crude
     rows·f32 formula over-shrinks weighted tiles ~4x — the stacked lhs is
@@ -409,9 +444,12 @@ def _one_input_kernel(
             for r in o_refs:
                 r[...] = jnp.zeros_like(r)
 
-    o_refs[0][...] += counts.astype(o_refs[0].dtype)
-    if flags is not None:
-        _accum_channels_when_bad(o_refs[1:], R_bool, flags, rhs_bf)
+    if weighted:
+        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        if flags is not None:
+            _accum_channels_when_bad(ch_refs, R_bool, flags, rhs_bf)
+    else:
+        o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
 def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
@@ -440,9 +478,9 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     nb_out = rows_pad
     if weighted_mode:
         s_tot = _weight_sections(faithful)
-        n_ch = _n_weight_channels(faithful)
+        n_x = _weighted_extra_outputs(faithful)
         bpe = 20 + 3 * nb_out + 2 * s_tot * tm
-        fixed = (1 + n_ch) * tm * nb_out * 4
+        fixed = (1 + n_x) * tm * nb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
         tc = _MAX_TC
@@ -468,7 +506,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
     out_rows = tm if reduce_all else m_pad
-    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
     out_spec = pl.BlockSpec(
         (tm, nb_out),
         fixed if reduce_all else (lambda i, j: (i, 0)),
@@ -513,7 +551,12 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     m_out = 1 if reduce_all else m
     if weighted_mode:
         counts = merge(results[0])[:, :nb]
-        channels = tuple(merge(r)[:, :nb] for r in results[1:]) or None
+        k = 1 if _kahan() else 0
+        if k:
+            counts = counts - merge(results[1])[:, :nb]
+        channels = tuple(
+            merge(r)[:, :nb] for r in results[1 + k :]
+        ) or None
         counts = _resolve_nonfinite(counts, channels)
     else:
         # cumulative → per-bin: exact integer differences of edge counts
@@ -583,9 +626,12 @@ def _joint2_kernel(
         for r in o_refs:
             r[...] = jnp.zeros_like(r)
 
-    o_refs[0][...] += counts.astype(o_refs[0].dtype)
-    if flags is not None:
-        _accum_channels_when_bad(o_refs[1:], A_lhs, flags, rhs_bf)
+    if weighted:
+        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        if flags is not None:
+            _accum_channels_when_bad(ch_refs, A_lhs, flags, rhs_bf)
+    else:
+        o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
 def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
@@ -616,9 +662,9 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     nbb_out = nbb_pad  # sublane-rounded only; Mosaic masks non-128 lanes
     if weighted_mode:
         s_tot = _weight_sections(faithful)
-        n_ch = _n_weight_channels(faithful)
+        n_x = _weighted_extra_outputs(faithful)
         bpe = 28 + (1 + 2 * s_tot) * nba_out + 3 * nbb_out
-        fixed = (1 + n_ch) * nba_out * nbb_out * 4
+        fixed = (1 + n_x) * nba_out * nbb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
         tc = _MAX_TC
@@ -653,7 +699,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
     moving = lambda i, j: (i, j)
-    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
     out_spec = pl.BlockSpec((nba_out, nbb_out), fixed, memory_space=pltpu.VMEM)
     results = pl.pallas_call(
         partial(
@@ -686,8 +732,12 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
 
     counts = results[0]
     if weighted_mode:
-        channels = tuple(r[:nba, :nbb] for r in results[1:]) or None
-        counts = _resolve_nonfinite(counts[:nba, :nbb], channels)
+        base = counts[:nba, :nbb]
+        k = 1 if _kahan() else 0
+        if k:
+            base = base - results[1][:nba, :nbb]
+        channels = tuple(r[:nba, :nbb] for r in results[1 + k :]) or None
+        counts = _resolve_nonfinite(base, channels)
     else:
         # 2-D inclusion-exclusion: cumulative joint → per-bin (exact ints)
         cum = counts[: nba + 1, : nbb + 1]
@@ -796,9 +846,12 @@ def _factored_kernel(
         for r in o_refs:
             r[...] = jnp.zeros_like(r)
 
-    o_refs[0][...] += counts.astype(o_refs[0].dtype)
-    if flags is not None:
-        _accum_channels_when_bad(o_refs[1:], A1, flags, A2)
+    if weighted:
+        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        if flags is not None:
+            _accum_channels_when_bad(ch_refs, A1, flags, A2)
+    else:
+        o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
 def _pick_factorization(n_slots):
@@ -829,7 +882,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
 
     weighted = weights_2d is not None
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
 
     # Chunk n1 so the VMEM-resident output block(s) stay bounded — huge
     # joint grids (> ~2M slots) keep the full (n1, n2) grid in HBM and
@@ -930,7 +983,10 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
 
     counts = post(results[0])
     if weighted:
-        channels = tuple(post(r) for r in results[1:]) or None
+        k = 1 if _kahan() else 0
+        if k:
+            counts = counts - post(results[1])
+        channels = tuple(post(r) for r in results[1 + k :]) or None
         counts = _resolve_nonfinite(counts, channels)
     return counts
 
@@ -1020,9 +1076,12 @@ def _direct_kernel(
         for r in o_refs:
             r[...] = jnp.zeros_like(r)
 
-    o_refs[0][...] += counts.astype(o_refs[0].dtype)
-    if flags is not None:
-        _accum_channels_when_bad(o_refs[1:], R_bool, flags, G_bf)
+    if weighted:
+        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        if flags is not None:
+            _accum_channels_when_bad(ch_refs, R_bool, flags, G_bf)
+    else:
+        o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
 def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False):
@@ -1031,7 +1090,7 @@ def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False):
     slot_chunk = min(n_slots_pad, 1024)
     budget_elems = _VMEM_BUDGET // 4
     if weighted:
-        budget_elems //= 2 + _n_weight_channels(faithful)
+        budget_elems //= 3 + _weighted_extra_outputs(faithful)
     while tm * tc * slot_chunk > budget_elems and tc > _LANE:
         tc //= 2
     while tm * tc * slot_chunk > budget_elems and slot_chunk > _LANE:
@@ -1090,7 +1149,7 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
         )
         operands.append(col)
 
-    n_outs = 1 + (_n_weight_channels(faithful) if weighted else 0)
+    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
     out_spec = pl.BlockSpec(
         (tm, slot_chunk), lambda i, n, j: (i, n), memory_space=pltpu.VMEM
     )
@@ -1127,7 +1186,10 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
 
     counts = post(results[0])
     if weighted:
-        channels = tuple(post(r) for r in results[1:]) or None
+        k = 1 if _kahan() else 0
+        if k:
+            counts = counts - post(results[1])
+        channels = tuple(post(r) for r in results[1 + k :]) or None
         counts = _resolve_nonfinite(counts, channels)
     return counts
 
