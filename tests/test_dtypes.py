@@ -65,3 +65,20 @@ def test_weights_f64_downcast_documented():
     h, _ = histogram(data, bins=bins, weights=w)
     expected = np.histogram(data.astype("f8"), bins=bins, weights=w)[0]
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+def test_bf16_and_f16_data():
+    """TPU-native narrow floats bin bit-exactly (edge transform is
+    dtype-aware) — a capability the numpy reference never needed."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    edges = np.linspace(-4, 4, 10)
+    for dt in (jnp.bfloat16, jnp.float16):
+        data = jnp.asarray(rng.randn(4, 64), dt)
+        h, _ = histogram(data, bins=edges, axis=1, method="pallas")
+        expected = np.stack(
+            [np.histogram(r, bins=edges)[0]
+             for r in np.asarray(data, "f8")]
+        )
+        np.testing.assert_array_equal(np.asarray(h), expected)
