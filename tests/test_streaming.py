@@ -83,3 +83,27 @@ def test_streaming_counts_property_and_chaining():
     )
     assert out is acc
     assert int(np.asarray(acc.counts).sum()) == 3
+
+
+def test_streaming_int64_accumulation():
+    """Streaming counts accumulate in host int64 — the reference's dtype
+    contract (core.py:363), with no int32 cap across chunks."""
+    acc = StreamingHistogram(bins=np.array([0.0, 1.0]))
+    acc.update(np.full(100, 0.5, "f4"))
+    assert acc.counts.dtype == np.int64
+    acc._counts[0] = 2**31  # simulate a huge accumulated total
+    acc.update(np.full(3, 0.5, "f4"))
+    h, _ = acc.result()
+    assert int(h[0]) == 2**31 + 3  # would wrap in int32
+
+
+def test_core_int32_overflow_guard():
+    """core.histogram refuses unweighted reductions whose per-row element
+    count could overflow int32 counts, pointing at StreamingHistogram."""
+    import jax
+
+    big = jax.ShapeDtypeStruct((2**31,), np.float32)
+    with pytest.raises(ValueError, match="StreamingHistogram"):
+        jax.eval_shape(
+            lambda x: histogram(x, bins=np.array([0.0, 1.0]))[0], big
+        )

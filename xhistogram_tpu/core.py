@@ -271,6 +271,27 @@ def histogram(
 
     axis_t = normalize_axis(axis, arrays_b[0].ndim)
 
+    # int32 count-overflow guard: counts accumulate in int32 (TPU word
+    # size; the reference returns int64, core.py:363). A single bin can
+    # only exceed 2**31-1 if one row reduces that many elements — refuse
+    # loudly instead of overflowing silently (StreamingHistogram
+    # accumulates chunks in host int64 and has no such cap).
+    if weights is None:
+        shape = arrays_b[0].shape
+        reduced = (
+            int(np.prod([shape[a] for a in axis_t]))
+            if axis_t is not None
+            else int(np.prod(shape))
+        )
+        if reduced >= 2**31:
+            raise ValueError(
+                f"unweighted counts are int32 and one output row reduces "
+                f"{reduced} elements (>= 2**31): a bin could overflow. "
+                f"Stream chunks through "
+                f"xhistogram_tpu.StreamingHistogram (host int64 "
+                f"accumulation) instead."
+            )
+
     # Edges on device in exact half-open comparison form (bins.py): bit-exact
     # equivalence with wider-precision edge comparisons, closed last bin
     # folded into an open upper bound.

@@ -4,9 +4,12 @@ The reference scales beyond memory with dask: ``blockwise`` maps the kernel
 over chunks and the scheduler tree-sums the partial histograms (reference
 core.py:403-439). On one host + one (or a mesh of) TPU(s), the same
 decomposition is a plain loop — histograms commute with concatenation along
-*reduced* axes — so ``StreamingHistogram`` accumulates per-chunk device
-partials and defers density normalization to the end (exactly where the
-reference normalizes: after the tree-sum, core.py:439-462).
+*reduced* axes — so ``StreamingHistogram`` computes each chunk's partial on
+device and accumulates on the host in wide dtypes (int64 counts / f64
+weighted sums: the reference's int64 contract, with no int32 overflow cap
+however many chunks stream through), deferring density normalization to
+the end (exactly where the reference normalizes: after the tree-sum,
+core.py:439-462).
 
     acc = StreamingHistogram(bins=[t_edges, s_edges], axis=1)
     for T_chunk, S_chunk, w_chunk in loader:          # e.g. zarr/netCDF reads
@@ -26,8 +29,6 @@ specs are rejected: resolving them needs global data the stream cannot see.
 from __future__ import annotations
 
 import numpy as np
-
-import jax.numpy as jnp
 
 from . import bins as _bins_mod
 from .core import histogram
@@ -83,6 +84,14 @@ class StreamingHistogram:
             method=self._method,
             block_size=self._block_size,
         )
+        # Host-side accumulation in wide dtypes: int64 counts (no int32
+        # overflow however many chunks stream through — the reference's
+        # int64 contract) / f64 weighted sums. The per-chunk transfer is
+        # noise next to reading the chunk itself.
+        h = np.asarray(h)
+        h = h.astype(np.int64) if h.dtype.kind in "iu" else h.astype(
+            np.float64
+        )
         if self._counts is None:
             self._counts = h
             self._edges = edges
@@ -98,7 +107,8 @@ class StreamingHistogram:
 
     @property
     def counts(self):
-        """Accumulated counts so far (device array), or None before any
+        """Accumulated counts so far (host array: int64 counts / float64
+        weighted sums — no int32 overflow cap), or None before any
         update."""
         return self._counts
 
@@ -115,7 +125,7 @@ class StreamingHistogram:
         if density:
             n_inputs = self._n_inputs
             bin_axes = tuple(range(-n_inputs, 0))
-            area = jnp.asarray(_bins_mod.bin_areas(self._edges), jnp.float32)
+            area = np.asarray(_bins_mod.bin_areas(self._edges))
             totals = h.sum(axis=bin_axes, keepdims=True)
             h = h / area / totals
         return h, self._edges
