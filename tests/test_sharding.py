@@ -189,3 +189,22 @@ def test_sharded_nonfinite_weights_survive_psum():
     h = np.asarray(h)
     assert np.isnan(h[3]).sum() == 1
     assert np.isfinite(np.delete(h, 3, axis=0)).all()
+
+
+def test_labeled_api_on_sharded_data_gspmd():
+    """Realistic user flow: labeled histogram over device_put-sharded data;
+    GSPMD inserts the collectives inside the jitted core pipeline and the
+    labeled result still matches the unsharded numpy oracle."""
+    from xhistogram_tpu.labeled import NamedArray, histogram as lhist
+
+    rng = np.random.RandomState(11)
+    T = rng.randn(8, 64).astype("f4")
+    mesh = mesh2d()
+    Ts = jax.device_put(T, NamedSharding(mesh, P("x", "y")))
+    na = NamedArray(Ts, dims=("depth", "cell"), name="T",
+                    coords={"depth": np.arange(8.0)})
+    bins = np.linspace(-4, 4, 10)
+    out = lhist(na, bins=bins, dim=["cell"])
+    assert out.dims == ("depth", "T_bin")
+    expected = np.stack([np.histogram(r, bins=bins)[0] for r in T])
+    np.testing.assert_array_equal(np.asarray(out.data), expected)
