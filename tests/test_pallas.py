@@ -211,3 +211,20 @@ def test_factored_n1_chunking(monkeypatch):
     for r in range(4):
         er, _, _ = np.histogram2d(a[r], b[r], bins=[bins_a, bins_b])
         np.testing.assert_array_equal(np.asarray(hr)[r], er)
+
+
+def test_factored_n1_chunking_multi_row_tiles(monkeypatch):
+    """Regression: chunked reduce-all with MORE THAN ONE row tile. The n1
+    chunk must own the OUTER grid dim so each output block's visits are
+    consecutive (Pallas TPU discards non-consecutively revisited output
+    blocks — the TPU-semantics interpreter enforces this)."""
+    monkeypatch.setenv("XHIST_OUT_BUDGET", str(64 * 1024))
+    rng = np.random.RandomState(15)
+    a = rng.randn(32, 512).astype("f4")   # (32, 512) -> 4 row tiles
+    b = rng.randn(32, 512).astype("f4")
+    bins_a = np.linspace(-4, 4, 201)
+    bins_b = np.linspace(-4, 4, 181)
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], method="pallas")
+    expected, _, _ = np.histogram2d(a.ravel(), b.ravel(),
+                                    bins=[bins_a, bins_b])
+    np.testing.assert_array_equal(np.asarray(h), expected)

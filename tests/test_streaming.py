@@ -107,3 +107,19 @@ def test_core_int32_overflow_guard():
         jax.eval_shape(
             lambda x: histogram(x, bins=np.array([0.0, 1.0]))[0], big
         )
+
+
+def test_streaming_list_edges_accepted():
+    acc = StreamingHistogram(bins=[0.0, 0.5, 1.0])
+    acc.update(np.array([0.25, 0.75, 0.75], "f4"))
+    np.testing.assert_array_equal(acc.counts, [1, 2])
+    acc2 = StreamingHistogram(bins=[[0.0, 0.5, 1.0], [0.0, 1.0]])
+    acc2.update(np.array([0.25], "f4"), np.array([0.5], "f4"))
+    assert acc2.counts.shape == (2, 1)
+
+
+def test_streaming_weighted_unweighted_mix_rejected():
+    acc = StreamingHistogram(bins=np.array([0.0, 1.0]))
+    acc.update(np.array([0.5], "f4"), weights=np.array([2.0], "f4"))
+    with pytest.raises(ValueError, match="mix weighted"):
+        acc.update(np.array([0.5], "f4"))

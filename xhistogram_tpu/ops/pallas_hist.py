@@ -135,11 +135,16 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
         return True
     if n_real + 1 <= 8192:
         return True
-    # per-row factored: large joint grids with kept rows
+    # per-row factored: large joint grids with kept rows. The m-dependent
+    # bound caps the materialized (m, padded slots) output (x n_outs
+    # blocks) — 2^27 f32 elements ≈ 512 MB on a 16 GB chip; past it the
+    # result itself barely fits and the XLA fallback is no better, but the
+    # auto path shouldn't OOM where it used to decline.
     return (
         n_real + 1 <= slot_cap // 2
         and sum(nbins) + n_inputs <= 4096
         and (c is None or c >= 256)
+        and m * (n_real + 1) <= (1 << 27)
     )
 
 
@@ -300,10 +305,8 @@ def _accum_channels_when_bad(ch_refs, oh_lhs_bool, flags, rhs_bf16):
 _faithful_mode = _nonfinite.faithful_mode
 
 
-def _n_weight_channels(faithful=None):
+def _n_weight_channels(faithful):
     """How many extra per-slot channel outputs the weighted kernels emit."""
-    if faithful is None:
-        faithful = not _ASSUME_FINITE
     return 3 if faithful else 0
 
 
@@ -498,10 +501,6 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         w2d = jnp.zeros((tm, tc), jnp.float32)  # unused placeholder block
 
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    lo = jnp.pad(lo, ((0, nb_out - rows_pad), (0, 0)),
-                 constant_values=_max_fill(lo.dtype))
-    hi = jnp.pad(hi, ((0, nb_out - rows_pad), (0, 0)),
-                 constant_values=_max_fill(hi.dtype))
 
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
@@ -687,14 +686,8 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
         w = jnp.zeros((tm, tc), jnp.float32)
 
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    alo = jnp.pad(alo, ((0, nba_out - nba_pad), (0, 0)),
-                  constant_values=_max_fill(alo.dtype))
-    ahi = jnp.pad(ahi, ((0, nba_out - nba_pad), (0, 0)),
-                  constant_values=_max_fill(ahi.dtype))
-    blo = jnp.pad(blo, ((0, nbb_out - nbb_pad), (0, 0)),
-                  constant_values=_max_fill(blo.dtype))
-    bhi = jnp.pad(bhi, ((0, nbb_out - nbb_pad), (0, 0)),
-                  constant_values=_max_fill(bhi.dtype))
+    # nba_out == nba_pad and nbb_out == nbb_pad (both already sublane-
+    # rounded; output tiles need no lane rounding — Mosaic masks them)
 
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
@@ -784,9 +777,19 @@ def _factored_kernel(
     edge_refs = refs[pos : pos + n_inputs]
     o_refs = refs[pos + n_inputs :]
 
-    i = pl.program_id(0)
-    n = pl.program_id(1)  # n1 chunk
-    j = pl.program_id(2)
+    # Grid-dim order differs by mode so that every OUTPUT block is visited
+    # in consecutive grid steps (Pallas TPU only preserves an output VMEM
+    # block across consecutive visits): per_row's block (i·chunks + n) is
+    # consecutive over inner j with grid (i, n, j); reduce-all's block (n)
+    # must own the OUTER dim — grid (n, i, j).
+    if per_row:
+        i = pl.program_id(0)
+        n = pl.program_id(1)  # n1 chunk
+        j = pl.program_id(2)
+    else:
+        n = pl.program_id(0)  # n1 chunk
+        i = pl.program_id(1)
+        j = pl.program_id(2)
     tm, tc = data_refs[0].shape
     e_elems = tm * tc
     n2 = 1 << log2_n2
@@ -917,9 +920,23 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
 
     edge_ops = [_edges_col(e, pad_to=_SUB)[0] for e in edges]
 
-    grid = (m_pad // tm, n_chunks, c_pad // tc)
-    fixed = lambda i, n, j: (0, 0)
-    moving = lambda i, n, j: (i, j)
+    # grid order must keep each output block's visits consecutive (see the
+    # kernel docstring): per_row → (i, n, j); reduce-all → (n, i, j)
+    if per_row:
+        grid = (m_pad // tm, n_chunks, c_pad // tc)
+        fixed = lambda i, n, j: (0, 0)
+        moving = lambda i, n, j: (i, j)
+        # one (n1_pad, n2) output group per real row; with force_full
+        # folding, row-block i holds exactly real row i's elements
+        out_rows_total = (m_pad // tm) * n1_pad
+        out_index = lambda i, n, j: (i * n_chunks + n, 0)
+    else:
+        grid = (n_chunks, m_pad // tm, c_pad // tc)
+        fixed = lambda n, i, j: (0, 0)
+        moving = lambda n, i, j: (i, j)
+        out_rows_total = n1_pad
+        out_index = lambda n, i, j: (n, 0)
+
     in_specs = [
         pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM)
         for _ in range(n_inputs)
@@ -932,20 +949,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
         in_specs.append(pl.BlockSpec(col.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(col)
 
-    if per_row:
-        # one (n1_pad, n2) output group per real row; with force_full
-        # folding, row-block i holds exactly real row i's elements
-        out_rows_total = (m_pad // tm) * n1_pad
-        out_spec = pl.BlockSpec(
-            (n1c, n2),
-            lambda i, n, j: (i * n_chunks + n, 0),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        out_rows_total = n1_pad
-        out_spec = pl.BlockSpec(
-            (n1c, n2), lambda i, n, j: (n, 0), memory_space=pltpu.VMEM
-        )
+    out_spec = pl.BlockSpec((n1c, n2), out_index, memory_space=pltpu.VMEM)
 
     results = pl.pallas_call(
         partial(
@@ -1198,7 +1202,15 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
 
 
 def _interpret():
-    return jax.default_backend() != "tpu"
+    """On CPU, run kernels under the TPU-semantics Pallas interpreter (it
+    enforces TPU grid rules — e.g. output blocks must be revisited in
+    consecutive grid steps — that the legacy functional interpreter would
+    silently tolerate; set XHIST_LEGACY_INTERPRET=1 to fall back)."""
+    if jax.default_backend() == "tpu":
+        return False
+    if _os.environ.get("XHIST_LEGACY_INTERPRET", "0") == "1":
+        return True
+    return pltpu.InterpretParams()
 
 
 def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
@@ -1224,8 +1236,9 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     # (direct's G build costs O(n_slots) VPU ops/element and its matmul
     # O(tm·n_slots) MACs, factored O(√slots) VPU + O(slots) MACs; measured
     # 7.3 vs 6.3 GB/s at 256 slots, 7x at 7200 — scripts/perrow_perf.py) as
-    # long as the reduce axis is wide enough to fill its per-row tiles
-    if c >= 256 and m > 1:
+    # long as the reduce axis is wide enough to fill its per-row tiles and
+    # the per-row output doesn't blow HBM (supports() mirrors this bound)
+    if c >= 256 and m > 1 and m * (n_real + 1) <= (1 << 27):
         return _run_factored(
             list(arrays_2d), edges, weights_2d, nbins, per_row=True
         )

@@ -47,8 +47,14 @@ class StreamingHistogram:
     def __init__(self, bins, *, range=None, axis=None, method="auto",
                  block_size="auto"):
         bins_list = bins if isinstance(bins, (list, tuple)) else [bins]
+        # Accept anything that IS a 1-D sequence of edges (ndarray, list,
+        # tuple — same as core.histogram); reject int/str specs, which need
+        # global data the stream cannot see (the streaming analog of the
+        # reference's dask guard, reference core.py:377-381).
+        if isinstance(bins, (list, tuple)) and bins and np.isscalar(bins[0]):
+            bins_list = [bins]  # a single flat list of edge values
         for b in bins_list:
-            if not hasattr(b, "ndim") or np.ndim(b) != 1:
+            if isinstance(b, (int, str)) or np.ndim(b) != 1:
                 raise TypeError(
                     "StreamingHistogram requires explicit 1-D bin-edge "
                     "arrays (int/str specs need global data the stream "
@@ -67,6 +73,7 @@ class StreamingHistogram:
         self._block_size = block_size
         self._counts = None
         self._edges = None
+        self._weighted = None  # pinned by the first update()
 
     def update(self, *args, weights=None):
         """Add one chunk (N input arrays [+ weights], reduced-axis slice)."""
@@ -74,6 +81,15 @@ class StreamingHistogram:
             raise ValueError(
                 f"expected {self._n_inputs} input arrays (one per bins "
                 f"entry), got {len(args)}"
+            )
+        weighted = weights is not None
+        if self._weighted is None:
+            self._weighted = weighted
+        elif self._weighted != weighted:
+            raise ValueError(
+                "cannot mix weighted and unweighted chunks in one "
+                "accumulator (counts and weighted sums are different "
+                "quantities); pass weights of ones if that mix is intended"
             )
         h, edges = histogram(
             *args,
