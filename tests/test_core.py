@@ -339,3 +339,19 @@ def test_multi_input_broadcast_with_weights():
     wb = np.broadcast_to(w, (4, 6)).ravel()
     expected, _ = np.histogramdd([ab, bb, cb], bins=bins, weights=wb)
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-6)
+
+
+def test_degenerate_shapes_match_numpy():
+    """Empty inputs, zero-size kept/reduced axes, single elements — all
+    shapes the reference inherits from numpy must round-trip."""
+    bins = np.linspace(0, 1, 5)
+    h, _ = histogram(np.array([], "f4"), bins=bins)
+    np.testing.assert_array_equal(np.asarray(h), np.zeros(4, "i4"))
+    h, _ = histogram(np.zeros((0, 5), "f4"), bins=bins, axis=1)
+    assert np.asarray(h).shape == (0, 4)
+    h, _ = histogram(np.zeros((3, 0), "f4"), bins=bins, axis=1)
+    np.testing.assert_array_equal(np.asarray(h), np.zeros((3, 4), "i4"))
+    h, _ = histogram(np.array([0.5], "f4"), bins=bins)
+    np.testing.assert_array_equal(
+        np.asarray(h), np.histogram([0.5], bins=bins)[0]
+    )

@@ -23,6 +23,7 @@ from . import ops  # noqa: F401
 from . import parallel  # noqa: F401
 from . import labeled  # noqa: F401
 from . import streaming  # noqa: F401
+from . import compat  # noqa: F401
 from .core import histogram  # noqa: F401
 from .streaming import StreamingHistogram  # noqa: F401
 
@@ -32,6 +33,7 @@ __all__ = [
     "parallel",
     "labeled",
     "streaming",
+    "compat",
     "histogram",
     "StreamingHistogram",
     "__version__",
