@@ -13,9 +13,10 @@ across this package:
   3. resolve per-slot IEEE sum semantics: any NaN → NaN, both infinities →
      NaN, one sign of infinity → that infinity, else the finite sum.
 
-Set ``XHIST_ASSUME_FINITE_WEIGHTS=1`` to skip steps 1-3 when weights are
-known finite (saves ~40% of the weighted-path cost). Integer weights always
-skip them (they cannot be nonfinite).
+In the Pallas kernels the indicator matmul is gated per tile on
+``any(nonfinite)`` — clean data pays only the flag computation and one
+reduce (measured free). ``XHIST_ASSUME_FINITE_WEIGHTS=1`` skips steps 1-3
+entirely; integer weights always skip them (they cannot be nonfinite).
 """
 
 from __future__ import annotations

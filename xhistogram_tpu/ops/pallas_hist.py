@@ -94,9 +94,9 @@ _WEIGHTED_SPLIT = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split") == "split
 # entry would poison every slot of its row-block (NaN·0 = NaN), where the
 # reference's scatter-add semantics poison only the element's own bin
 # (reference core.py:81 — np.bincount). Faithful mode sanitizes the weights
-# and fuses three indicator channels (nan/+inf/-inf per-slot counts) into the
-# same MXU matmul as extra stacked lhs rows, then resolves IEEE sums per slot.
-# Costs ~1.75x the fast weighted path; XHIST_ASSUME_FINITE_WEIGHTS=1 skips it.
+# and accumulates three indicator channels (nan/+inf/-inf per-slot counts)
+# via a stacked matmul gated per tile on any(nonfinite) — free on clean
+# data; XHIST_ASSUME_FINITE_WEIGHTS=1 skips it entirely.
 from . import nonfinite as _nonfinite
 
 _ASSUME_FINITE = _nonfinite.ASSUME_FINITE
