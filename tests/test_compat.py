@@ -37,8 +37,13 @@ def test_histogram2d_compat():
         np.testing.assert_allclose(ex, exe, rtol=1e-5)
         np.testing.assert_allclose(ey, eye, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(h), he)
+    # numpy semantics: a length-3 flat sequence is a shared edge array
+    h, ex, ey = compat.histogram2d(x, y, bins=[-1.0, 0.0, 1.0])
+    he, _, _ = np.histogram2d(x.astype("f8"), y.astype("f8"),
+                              bins=[-1.0, 0.0, 1.0])
+    np.testing.assert_array_equal(np.asarray(h), he)
     with pytest.raises(ValueError):
-        compat.histogram2d(x, y, bins=[1, 2, 3])
+        compat.histogram2d(x, y, bins=np.zeros((3, 3)))
 
 
 def test_histogramdd_compat():
@@ -63,3 +68,45 @@ def test_histogramdd_compat():
     he, _ = np.histogramdd(sample.astype("f8"), bins=4,
                            weights=w.astype("f8"), density=True)
     np.testing.assert_allclose(np.asarray(h), he, rtol=1e-4, atol=1e-7)
+
+
+def test_histogram2d_ndarray_bins_conventions():
+    """numpy's exact bins conventions: length-2 sequence (incl. ndarray) =
+    per-dim specs; longer 1-D array = shared edges."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(500).astype("f4")
+    y = rng.randn(500).astype("f4")
+    h, ex, ey = compat.histogram2d(x, y, bins=np.array([5, 9]))
+    assert np.asarray(h).shape == (5, 9)
+    he, _, _ = np.histogram2d(x.astype("f8"), y.astype("f8"),
+                              bins=np.array([5, 9]))
+    np.testing.assert_array_equal(np.asarray(h), he)
+    shared = np.linspace(-3, 3, 7)
+    h, ex, ey = compat.histogram2d(x, y, bins=shared)
+    he, _, _ = np.histogram2d(x.astype("f8"), y.astype("f8"), bins=shared)
+    np.testing.assert_array_equal(np.asarray(h), he)
+    np.testing.assert_allclose(ex, shared)
+    np.testing.assert_allclose(ey, shared)
+
+
+def test_histogramdd_ndarray_bins_and_1d_sample():
+    rng = np.random.RandomState(4)
+    sample = rng.randn(800, 3).astype("f4")
+    h, _ = compat.histogramdd(sample, bins=np.array([3, 4, 5]))
+    he, _ = np.histogramdd(sample.astype("f8"), bins=np.array([3, 4, 5]))
+    assert np.asarray(h).shape == (3, 4, 5)
+    np.testing.assert_array_equal(np.asarray(h), he)
+    # numpy treats (N,) as (N, 1)
+    flat = rng.randn(600).astype("f4")
+    h, edges = compat.histogramdd(flat, bins=5)
+    he, ee = np.histogramdd(flat.astype("f8"), bins=5)
+    np.testing.assert_array_equal(np.asarray(h), he)
+    np.testing.assert_allclose(edges[0], ee[0], rtol=1e-5)
+
+
+def test_histogram_flat_list_edges():
+    """np.histogram's most common bins form — a plain list of edges."""
+    a = np.array([0.1, 0.6, 0.7], "f4")
+    h, e = compat.histogram(a, bins=[0.0, 0.5, 1.0])
+    np.testing.assert_array_equal(np.asarray(h), [1, 2])
+    np.testing.assert_allclose(e, [0.0, 0.5, 1.0])

@@ -123,3 +123,18 @@ def test_streaming_weighted_unweighted_mix_rejected():
     acc.update(np.array([0.5], "f4"), weights=np.array([2.0], "f4"))
     with pytest.raises(ValueError, match="mix weighted"):
         acc.update(np.array([0.5], "f4"))
+
+
+def test_streaming_ambiguous_int_list_rejected():
+    with pytest.raises(TypeError, match="ambiguous"):
+        StreamingHistogram(bins=[10, 20])
+
+
+def test_streaming_failed_first_update_does_not_pin_mode():
+    acc = StreamingHistogram(bins=np.array([0.0, 1.0]))
+    with pytest.raises(Exception):
+        acc.update(np.zeros(4, "f4"),
+                   weights=np.zeros((3, 7), "f4"))  # broadcast error
+    # a valid unweighted chunk must still be accepted
+    acc.update(np.array([0.5], "f4"))
+    assert int(acc.counts[0]) == 1

@@ -4,13 +4,15 @@
 The reference's users often mix ``xhistogram.core.histogram`` with plain
 ``np.histogram*`` calls for full reductions; these wrappers let that code
 move wholesale. Semantics follow numpy (density, range, weights, the
-closed last bin); bin RESOLUTION of int/str specs happens host-side and
-therefore needs concrete data, exactly like ``core.histogram``.
+closed last bin, the bins-argument conventions of each function); bin
+RESOLUTION of int/str specs happens host-side and therefore needs concrete
+data, exactly like ``core.histogram``.
 
 numpy signature sources: ``np.histogram(a, bins=10, range=None, ...)``,
-``np.histogram2d(x, y, bins=10, ...)`` (bins may be [int, int] /
-[array, array] / int / array), ``np.histogramdd(sample, bins=10, ...)``
-(sample is (N, D) or a length-D sequence of length-N arrays).
+``np.histogram2d(x, y, bins=10, ...)`` (bins: int | 1-D edge array |
+length-2 sequence of per-dim specs), ``np.histogramdd(sample, bins=10,
+...)`` (sample: (N, D), (N,) treated as (N, 1), or a length-D sequence of
+length-N arrays; bins: int | length-D sequence of per-dim specs).
 """
 
 from __future__ import annotations
@@ -28,6 +30,10 @@ _builtin_range = range
 def histogram(a, bins=10, range=None, weights=None, density=False,
               **kwargs):
     """np.histogram-compatible: full reduction of one input."""
+    if isinstance(bins, (list, tuple)):
+        # numpy treats a flat sequence as ONE edge array; core.histogram
+        # would read a list as per-input specs
+        bins = np.asarray(bins)
     h, edges = _histogram(
         a, bins=bins, range=range, weights=weights, density=density,
         **kwargs,
@@ -36,23 +42,31 @@ def histogram(a, bins=10, range=None, weights=None, density=False,
 
 
 def _split_2d_bins(bins):
-    """np.histogram2d's bins convention → per-input list."""
+    """np.histogram2d's bins convention → per-input list: any length-2
+    sequence (list/tuple/ndarray) is per-dim specs; a longer 1-D array is
+    shared edges; a scalar int/str applies to both dims (numpy's exact
+    N==1/N==2 logic)."""
+    try:
+        n = len(bins)
+    except TypeError:
+        return [bins, bins]
+    if n == 2:
+        return [bins[0], bins[1]]
     if isinstance(bins, (list, tuple)):
-        if len(bins) == 2:
-            return list(bins)
-        raise ValueError(
-            "histogram2d bins must be an int, a 1-D edge array, or a "
-            "length-2 sequence thereof"
-        )
-    return [bins, bins]
+        bins = np.asarray(bins)
+    if getattr(bins, "ndim", None) == 1:
+        return [bins, bins]  # shared edge array
+    raise ValueError(
+        "histogram2d bins must be an int, a 1-D edge array, or a "
+        "length-2 sequence of per-dim specs"
+    )
 
 
 def histogram2d(x, y, bins=10, range=None, weights=None, density=False,
                 **kwargs):
     """np.histogram2d-compatible: joint histogram of two 1-D inputs."""
     h, edges = _histogram(
-        np.asarray(x) if not hasattr(x, "dtype") else x,
-        np.asarray(y) if not hasattr(y, "dtype") else y,
+        x, y,
         bins=_split_2d_bins(bins),
         range=range,
         weights=weights,
@@ -64,27 +78,36 @@ def histogram2d(x, y, bins=10, range=None, weights=None, density=False,
 
 def histogramdd(sample, bins=10, range=None, weights=None, density=False,
                 **kwargs):
-    """np.histogramdd-compatible: sample is (N, D) or a length-D sequence
-    of length-N coordinate arrays."""
+    """np.histogramdd-compatible: sample is (N, D) — or (N,), treated as
+    (N, 1) like numpy — or a length-D sequence of length-N arrays."""
     if isinstance(sample, (list, tuple)):
         arrays = list(sample)
     else:
         arr = sample
-        if getattr(arr, "ndim", None) != 2:
+        if not hasattr(arr, "ndim"):
             arr = np.asarray(arr)
-        if arr.ndim != 2:
+        if arr.ndim == 1:
+            arrays = [arr]
+        elif arr.ndim == 2:
+            arrays = [arr[:, d] for d in _builtin_range(arr.shape[1])]
+        else:
             raise ValueError(
-                "histogramdd sample must be (N, D) or a sequence of D "
-                "1-D arrays"
+                "histogramdd sample must be (N, D), (N,), or a sequence "
+                "of D 1-D arrays"
             )
-        arrays = [arr[:, d] for d in _builtin_range(arr.shape[1])]
     d = len(arrays)
-    if isinstance(bins, (list, tuple)):
-        if len(bins) != d:
+    # numpy: any length-D sequence (incl. ndarray) of specs is per-dim;
+    # a scalar replicates
+    try:
+        m = len(bins)
+    except TypeError:
+        m = None
+    if m is not None:
+        if m != d:
             raise ValueError(
-                f"bins sequence length {len(bins)} != sample dimension {d}"
+                f"bins sequence length {m} != sample dimension {d}"
             )
-        bins_list = list(bins)
+        bins_list = [bins[i] for i in _builtin_range(d)]
     else:
         bins_list = [bins] * d
     h, edges = _histogram(

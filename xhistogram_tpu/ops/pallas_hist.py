@@ -131,20 +131,24 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
         # to the slot cap, as long as the per-element digitize cost
         # (Σ n_edges compares on the VPU) stays sane
         return n_real + 1 <= slot_cap and sum(nbins) + n_inputs <= 4096
+    # Kept rows: every pallas branch materializes (m, PADDED slots) output
+    # blocks, times up to 5 for weighted (Kahan compensation + 3 faithful
+    # channels). Bound the total at 2^28 f32 elements (1 GB) — beyond that
+    # the XLA strategies (single unpadded output) are the safer choice.
+    n_slots = n_real + 1
+    n1, log2_n2 = _pick_factorization(n_slots)
+    padded_slots = max(n1 << log2_n2, _round_up(n_slots, 1024))
+    if m * padded_slots * (5 if weighted else 1) > (1 << 28):
+        return False
     if n_inputs == 1 and nbins[0] <= 1024:
         return True
-    if n_real + 1 <= 8192:
+    if n_slots <= 8192:
         return True
-    # per-row factored: large joint grids with kept rows. The m-dependent
-    # bound caps the materialized (m, padded slots) output (x n_outs
-    # blocks) — 2^27 f32 elements ≈ 512 MB on a 16 GB chip; past it the
-    # result itself barely fits and the XLA fallback is no better, but the
-    # auto path shouldn't OOM where it used to decline.
+    # per-row factored: large joint grids with kept rows
     return (
-        n_real + 1 <= slot_cap // 2
+        n_slots <= slot_cap // 2
         and sum(nbins) + n_inputs <= 4096
         and (c is None or c >= 256)
-        and m * (n_real + 1) <= (1 << 27)
     )
 
 
@@ -1237,8 +1241,16 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     # O(tm·n_slots) MACs, factored O(√slots) VPU + O(slots) MACs; measured
     # 7.3 vs 6.3 GB/s at 256 slots, 7x at 7200 — scripts/perrow_perf.py) as
     # long as the reduce axis is wide enough to fill its per-row tiles and
-    # the per-row output doesn't blow HBM (supports() mirrors this bound)
-    if c >= 256 and m > 1 and m * (n_real + 1) <= (1 << 27):
+    # the per-row padded output doesn't blow HBM (supports() mirrors this)
+    n1, log2_n2 = _pick_factorization(n_real + 1)
+    n_outs = 1
+    if weights_2d is not None:
+        n_outs += _weighted_extra_outputs(_faithful_mode(weights_2d))
+    if (
+        c >= 256
+        and m > 1
+        and m * (n1 << log2_n2) * n_outs <= (1 << 28)
+    ):
         return _run_factored(
             list(arrays_2d), edges, weights_2d, nbins, per_row=True
         )

@@ -47,12 +47,22 @@ class StreamingHistogram:
     def __init__(self, bins, *, range=None, axis=None, method="auto",
                  block_size="auto"):
         bins_list = bins if isinstance(bins, (list, tuple)) else [bins]
-        # Accept anything that IS a 1-D sequence of edges (ndarray, list,
-        # tuple — same as core.histogram); reject int/str specs, which need
-        # global data the stream cannot see (the streaming analog of the
-        # reference's dask guard, reference core.py:377-381).
+        # Accept anything that IS a 1-D sequence of edges (ndarray, or a
+        # flat list of floats); reject int/str specs, which need global
+        # data the stream cannot see (the streaming analog of the
+        # reference's dask guard, reference core.py:377-381). A flat list
+        # of INTS is ambiguous (per-input int bin-count specs vs one
+        # input's integer edges) — refuse with guidance rather than guess.
         if isinstance(bins, (list, tuple)) and bins and np.isscalar(bins[0]):
-            bins_list = [bins]  # a single flat list of edge values
+            if all(isinstance(b, (int, np.integer)) for b in bins):
+                raise TypeError(
+                    "ambiguous flat list of ints for bins: int bin-COUNT "
+                    "specs need global data the stream cannot see "
+                    "(reference core.py:377-381); for integer bin EDGES "
+                    "of a single input pass np.asarray(edges) or "
+                    "[edges_list]"
+                )
+            bins_list = [bins]  # a single flat list of (float) edge values
         for b in bins_list:
             if isinstance(b, (int, str)) or np.ndim(b) != 1:
                 raise TypeError(
@@ -83,9 +93,7 @@ class StreamingHistogram:
                 f"entry), got {len(args)}"
             )
         weighted = weights is not None
-        if self._weighted is None:
-            self._weighted = weighted
-        elif self._weighted != weighted:
+        if self._weighted is not None and self._weighted != weighted:
             raise ValueError(
                 "cannot mix weighted and unweighted chunks in one "
                 "accumulator (counts and weighted sums are different "
@@ -100,6 +108,9 @@ class StreamingHistogram:
             method=self._method,
             block_size=self._block_size,
         )
+        # pin weighted-ness only once the chunk was actually accepted (a
+        # failed first update must not poison the accumulator's mode)
+        self._weighted = weighted
         # Host-side accumulation in wide dtypes: int64 counts (no int32
         # overflow however many chunks stream through — the reference's
         # int64 contract) / f64 weighted sums. The per-chunk transfer is
