@@ -79,6 +79,10 @@ _MAX_TC = int(_os.environ.get("XHIST_MAX_TC", 8192))
 # physical VMEM; raise it so the tile budgets above are the real constraint
 # (the budget sizing keeps double-buffering headroom).
 _VMEM_LIMIT = int(_os.environ.get("XHIST_VMEM_LIMIT", 64 << 20))
+# Edge-chunk width of the unrolled digitize loop (factored/direct kernels):
+# wider chunks mean fewer unrolled compare+sum steps (compile time scales
+# with the step count for many-edge bins) at a slightly larger rank-3 temp.
+_DIG_CHUNK = int(_os.environ.get("XHIST_DIG_CHUNK", 32))
 
 
 def _compiler_params():
@@ -122,7 +126,9 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
     # The n1-chunked factored kernel handles any grid; the cap is where the
     # O(slots)/element MXU work approaches the XLA-sort fallback (measured:
     # factored 0.13 GB/s vs sort 0.01 at 4M slots on v5e — crossover is far
-    # beyond 8M; sum(nbins) <= 4096 usually binds first for <= 2 inputs).
+    # beyond 8M). The edge cap bounds the O(Σ n_edges) VPU digitize AND the
+    # unrolled compile time (~40 s at 8k edges with 32-wide chunks;
+    # measured 14x faster than sort warm at 8000 bins).
     slot_cap = 1 << 23
     if weighted:
         slot_cap = 1 << 22  # 2 matmul sections
@@ -130,7 +136,7 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
         # full reduction: one_input / joint2 / factored cover everything up
         # to the slot cap, as long as the per-element digitize cost
         # (Σ n_edges compares on the VPU) stays sane
-        return n_real + 1 <= slot_cap and sum(nbins) + n_inputs <= 4096
+        return n_real + 1 <= slot_cap and sum(nbins) + n_inputs <= 8192
     # Kept rows: every pallas branch materializes (m, PADDED slots) output
     # blocks, times up to 5 for weighted (Kahan compensation + 3 faithful
     # channels). Bound the total at 2^28 f32 elements (1 GB) — beyond that
@@ -147,7 +153,7 @@ def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
     # per-row factored: large joint grids with kept rows
     return (
         n_slots <= slot_cap // 2
-        and sum(nbins) + n_inputs <= 4096
+        and sum(nbins) + n_inputs <= 8192
         and (c is None or c >= 256)
     )
 
@@ -816,8 +822,9 @@ def _factored_kernel(
         edges = edge_refs[k]  # (ne_pad, 1), +max padded, half-open transform
         ne_pad = edges.shape[0]
         idx = jnp.zeros((tm, tc), jnp.int32)
-        for e0 in range(0, ne_pad, _SUB):
-            chunk = edges[e0 : e0 + _SUB, :]
+        step = min(_DIG_CHUNK, ne_pad)
+        for e0 in range(0, ne_pad, step):
+            chunk = edges[e0 : e0 + step, :]
             cmp = a[None, :, :] >= chunk[:, :, None]
             idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
         t = (idx - 1).reshape(1, e_elems)
@@ -922,7 +929,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
     if weighted:
         w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
 
-    edge_ops = [_edges_col(e, pad_to=_SUB)[0] for e in edges]
+    edge_ops = [_edges_col(e, pad_to=_DIG_CHUNK)[0] for e in edges]
 
     # grid order must keep each output block's visits consecutive (see the
     # kernel docstring): per_row → (i, n, j); reduce-all → (n, i, j)
@@ -1047,9 +1054,10 @@ def _direct_kernel(
         # branchless searchsorted-right over pre-transformed half-open edges
         # (no inclusive-last-bin fixup needed; bins.edges_for_compare)
         idx = jnp.zeros((tm, tc), jnp.int32)
-        for e0 in range(0, ne_pad, _SUB):
-            chunk = edges[e0 : e0 + _SUB, :]  # (_SUB, 1)
-            cmp = a[None, :, :] >= chunk[:, :, None]  # (_SUB, tm, tc)
+        step = min(_DIG_CHUNK, ne_pad)
+        for e0 in range(0, ne_pad, step):
+            chunk = edges[e0 : e0 + step, :]  # (step, 1)
+            cmp = a[None, :, :] >= chunk[:, :, None]  # (step, tm, tc)
             idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
         t = (idx - 1).reshape(1, e_elems)  # data-derived reshape
         ok = (t >= 0) & (t <= nbins[k] - 1)
@@ -1137,7 +1145,7 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
 
     edge_ops = []
     for e in edges:
-        col, _ = _edges_col(e, pad_to=_SUB)
+        col, _ = _edges_col(e, pad_to=_DIG_CHUNK)
         edge_ops.append(col)
 
     grid = (m_pad // tm, n_chunks, c_pad // tc)
