@@ -15,7 +15,9 @@ Semantics contracts replicated from the reference:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
+from typing import NamedTuple
 
 import numpy as np
 
@@ -27,6 +29,9 @@ __all__ = [
     "bin_centers",
     "bin_widths",
     "bin_areas",
+    "CompareEdges",
+    "compare_form",
+    "edges_for_compare",
 ]
 
 
@@ -116,21 +121,102 @@ def resolve_bin_edges(arrays, bins, range_=None, weights=None):
         )
 
     edges = []
-    for a, b, r in zip(arrays, bins, ranges):
+    arrs_np = None
+    w_np = None
+    for i, (b, r) in enumerate(zip(bins, ranges)):
         if isinstance(b, np.ndarray):
             edges.append(_view_datetime_as_int(np.asarray(b)))
             continue
-        # Host-side resolution path: pull a concrete numpy copy of the data.
-        a_np = _view_datetime_as_int(np.asarray(a))
-        w_np = None
-        if weights is not None:
-            w_np = np.broadcast_to(np.asarray(weights), a_np.shape)
-        e = np.histogram_bin_edges(a_np, bins=b, range=r, weights=w_np)
+        if arrs_np is None:
+            # Host-side resolution path: estimator specs see the fully
+            # broadcast data (and weights), matching the reference's
+            # broadcast-before-resolve order (reference core.py:366-388) —
+            # weights may have MORE dims than an individual input.
+            arrs_np = [_view_datetime_as_int(np.asarray(a)) for a in arrays]
+            if weights is not None:
+                bc = np.broadcast_arrays(*arrs_np, np.asarray(weights))
+                arrs_np, w_np = list(bc[:-1]), bc[-1]
+            elif len(arrs_np) > 1:
+                arrs_np = list(np.broadcast_arrays(*arrs_np))
+        e = np.histogram_bin_edges(arrs_np[i], bins=b, range=r, weights=w_np)
         edges.append(e)
     return edges
 
 
-def edges_for_compare(edges, dtype):
+def _min_int_cast_ge(e):
+    """Smallest integer v with ``np.float64(v) >= e`` (e: finite float64).
+
+    numpy histograms integer data against float edges by casting the data to
+    float64 first (lossy above 2**53), so the exact integer threshold is the
+    cast-rounding cutover, not ``ceil(e)``. The cutover lies within one ulp
+    of the midpoint between ``e`` and its predecessor; a ≤3-step scan with
+    ``float(v)`` (exact round-to-nearest-even) pins it, tie rule included.
+    """
+    from fractions import Fraction
+
+    prev = float(np.nextafter(e, -np.inf))
+    if math.isinf(prev):  # e is the most-negative finite float
+        v = math.floor(float(e)) - 2
+    else:
+        m = (Fraction(prev) + Fraction(float(e))) / 2
+        v = math.floor(m) - 1
+    while float(v) < e:
+        v += 1
+    return v
+
+
+def int_thresholds(edges):
+    """Exact integer compare-form thresholds for integer data.
+
+    Returns a list ``[t_0 .. t_{E-1}]`` of python ints (or ``±math.inf``)
+    such that for any integer value v: bin k ⟺ ``t_k <= v < t_{k+1}``,
+    below-range ⟺ ``v < t_0``, above-range ⟺ ``v >= t_{E-1}``. Float edges
+    replicate numpy's semantics bit-exactly: numpy casts integer data to
+    float64 before comparing (reference core.py:163-174 via searchsorted),
+    so the thresholds are the cast-rounding cutovers (``_min_int_cast_ge``),
+    which equal ``ceil(e)`` / ``floor(e_last)+1`` for values below 2**53 and
+    follow numpy's lossy rounding above it. Fractional edges are never
+    truncated against integer data (ADVICE r1).
+    """
+    e = np.asarray(edges)
+    n = e.shape[0]
+    if np.issubdtype(e.dtype, np.integer):
+        return [int(v) for v in e[:-1]] + [int(e[-1]) + 1]
+    ts = []
+    for j in range(n):
+        v = float(e[j])
+        if math.isnan(v):
+            raise ValueError("bin edges must not contain NaN")
+        if j < n - 1:
+            if math.isinf(v):
+                ts.append(v)  # ±inf: beyond every representable integer
+            else:
+                ts.append(_min_int_cast_ge(v))
+        else:
+            # closed last bin: in-range ⟺ float64(v) <= e_last, so the
+            # exclusive bound is the smallest int casting strictly above it
+            if v == math.inf:
+                ts.append(math.inf)
+            elif v == -math.inf:
+                ts.append(-math.inf)
+            else:
+                nxt = float(np.nextafter(v, np.inf))
+                ts.append(
+                    math.inf if math.isinf(nxt) else _min_int_cast_ge(nxt)
+                )
+    return ts
+
+
+class CompareEdges(NamedTuple):
+    """Device comparison form of a bin-edge array (see ``compare_form``)."""
+
+    edges: np.ndarray  # half-open thresholds in the data dtype
+    n_hi_clip: int  # thresholds clamped at the dtype's top value: a
+    # digitize of ``v == top`` must subtract this count
+    # (those thresholds are really above every value)
+
+
+def compare_form(edges, dtype) -> CompareEdges:
     """Exact device-comparison form of a bin-edge array: half-open intervals
     in the data's dtype.
 
@@ -148,24 +234,21 @@ def edges_for_compare(edges, dtype):
     with the closed last bin folded into an open upper bound — no equality
     fixups needed downstream, and bit-exact parity with numpy's float64 edge
     comparisons.
+
+    Thresholds that land *above* the dtype's top value (int dtype max, or
+    float +inf from a last edge exactly at +inf) cannot be represented as an
+    exclusive bound; they are clamped to the top value and counted in
+    ``n_hi_clip``: the digitize must subtract that count for elements equal
+    to the top value (ops.digitize honors this).
     """
     e = np.asarray(edges)
     dtype = np.dtype(dtype)
     if np.issubdtype(dtype, np.integer):
         info = np.iinfo(dtype)
-        # clamp into the dtype's range BEFORE casting (no wraparound):
-        # a >= e with e ≤ min is always true ⟺ a >= min (exact); e > max is
-        # never true ⟺ a >= max except for a == max (documented corner —
-        # sub-32-bit ints are promoted to int32 upstream, removing it)
-        if np.issubdtype(e.dtype, np.integer):
-            lo = np.clip(e[:-1], info.min, info.max).astype(dtype)
-            last = np.clip(e[-1], info.min, info.max)
-        else:
-            # float edges, int data: a >= e ⟺ a >= ceil(e)
-            lo = np.clip(np.ceil(e[:-1]), info.min, info.max).astype(dtype)
-            last = np.clip(np.floor(e[-1]), info.min, info.max)
-        upper = last + 1 if last < info.max else info.max
-        return np.concatenate([lo, [upper]]).astype(dtype)
+        ts = int_thresholds(e)
+        clamped = [min(max(t, info.min), info.max) for t in ts]
+        n_hi = sum(1 for t in ts if t > info.max)
+        return CompareEdges(np.array(clamped, dtype=dtype), n_hi)
 
     # float data dtype
     cast = e.astype(dtype)
@@ -184,7 +267,19 @@ def edges_for_compare(edges, dtype):
         last_cast,
     ).astype(dtype)
     upper = np.nextafter(floor_cast, np.asarray(np.inf, dtype))
-    return np.concatenate([ceil_cast[:-1], upper]).astype(dtype)
+    # a last edge exactly at +inf means the closed last bin contains +inf
+    # itself; there is no float strictly above +inf, so the exclusive bound
+    # clamps at +inf and the digitize subtracts 1 for ``a == +inf``.
+    n_hi = int(np.isinf(e[-1]) and e[-1] > 0)
+    return CompareEdges(
+        np.concatenate([ceil_cast[:-1], upper]).astype(dtype), n_hi
+    )
+
+
+def edges_for_compare(edges, dtype):
+    """Back-compat wrapper: the edges array of ``compare_form`` (callers that
+    need the top-value clip correction should use ``compare_form``)."""
+    return compare_form(edges, dtype).edges
 
 
 def bin_centers(edges):

@@ -57,31 +57,100 @@ def _coerce_host(x):
     return x
 
 
-def _order_preserving_int32(a_np, edges_np):
-    """Losslessly remap int64 data+edges to int32 for the device pipeline.
+def _exact_rank_codes(a_np, edges_np):
+    """Host-side exact digitize of wide numpy data to small int32 rank codes.
 
-    JAX runs with 32-bit ints on TPU; int64 inputs (e.g. datetime64 views,
-    reference test_core.py:365-382) may overflow. Binning only needs each
-    element's ordering *relative to the edges*, so when values don't fit in
-    int32 we remap: edge j → 2j+1, value v → 2·searchsorted_left(edges, v)
-    + (v == that edge). This preserves every <, ==, > relation between values
-    and edges exactly (host-side, exact int64 numpy arithmetic).
+    For data the device dtype can't hold exactly (int64/uint64 under 32-bit
+    jax; float64 that doesn't round-trip through float32), map each element
+    to its exact rank among the compare-form thresholds — preserving every
+    <, ==, > relation against the (float64 / wide-int) edges — so the device
+    pipeline reproduces the wide-precision histogram bit-exactly. Fractional
+    float edges are never truncated against integer data (the reference
+    compares in float64 throughout, reference core.py:163-174).
+
+    Returns ``(codes int32, compare_edges int32)``; ``compare_edges`` is
+    ALREADY in device comparison form (``n_hi_clip = 0`` — clamp corrections
+    happen here, in exact host arithmetic).
     """
+    e = np.asarray(edges_np)
+    n_edges = e.shape[0]
+    flat = a_np.ravel()
+    if np.issubdtype(a_np.dtype, np.integer):
+        info = np.iinfo(a_np.dtype)
+        ts = _bins_mod.int_thresholds(e)
+        clamped = np.array(
+            [min(max(t, info.min), info.max) for t in ts], dtype=a_np.dtype
+        )
+        codes = np.searchsorted(clamped, flat, side="right")
+        n_over = sum(1 for t in ts if t > info.max)
+        if n_over:
+            codes = codes - n_over * (flat == info.max)
+    else:
+        ef = e.astype(np.float64)
+        ts = np.concatenate([ef[:-1], [np.nextafter(ef[-1], np.inf)]])
+        codes = np.searchsorted(ts, flat.astype(np.float64), side="right")
+        if np.isinf(ef[-1]) and ef[-1] > 0:
+            # closed last bin at +inf contains +inf itself
+            codes = codes - (flat == np.inf)
+    codes = codes.reshape(a_np.shape).astype(np.int32)
+    return codes, np.arange(1, n_edges + 1, dtype=np.int32)
+
+
+def _device_dtype(a):
+    """The dtype ``jnp.asarray`` will give this input on the device."""
+    dt = np.dtype(a.dtype)
+    if jax.config.read("jax_enable_x64"):
+        return dt
+    if dt == np.float64:
+        return np.dtype(np.float32)
+    if dt == np.int64:
+        return np.dtype(np.int32)
+    if dt == np.uint64:
+        return np.dtype(np.uint32)
+    return dt
+
+
+def _prepare_device(args, edges_np):
+    """Make every (data, edges) pair exactly representable on the device.
+
+    Under 32-bit jax, numpy int64/uint64 and non-float32-representable
+    float64 inputs would be silently narrowed by ``jnp.asarray``, moving
+    values across bin edges. Such inputs are remapped host-side to exact
+    int32 rank codes (``_exact_rank_codes``); everything else keeps its
+    values and gets exact comparison-form edges (``bins.compare_form``).
+
+    Returns ``(args, device_edges, n_hi_clips)`` — edges already in
+    comparison form plus one static hi-clip count per input for the digitize
+    (see ops.digitize.digitize_edges).
+    """
+    args = list(args)
+    edges_dev = []
+    n_his = []
+    x64 = jax.config.read("jax_enable_x64")
     i32 = np.iinfo(np.int32)
-    vals = [edges_np]
-    if a_np.size:
-        vals.append(a_np)
-    lo = min(int(v.min()) for v in vals)
-    hi = max(int(v.max()) for v in vals)
-    if i32.min <= lo and hi <= i32.max:
-        return a_np.astype(np.int32), edges_np.astype(np.int32)
-    sl = np.searchsorted(edges_np, a_np, side="left")
-    in_range = sl < len(edges_np)
-    is_edge = np.zeros(a_np.shape, dtype=np.int64)
-    is_edge[in_range] = edges_np[sl[in_range]] == a_np[in_range]
-    a32 = (2 * sl + is_edge).astype(np.int32)
-    e32 = (2 * np.arange(len(edges_np)) + 1).astype(np.int32)
-    return a32, e32
+    for i, (a, e) in enumerate(zip(args, edges_np)):
+        ce = None
+        if isinstance(a, np.ndarray) and not x64:
+            if a.dtype in (np.int64, np.uint64):
+                lo = int(a.min()) if a.size else 0
+                hi = int(a.max()) if a.size else 0
+                if i32.min <= lo and hi <= i32.max:
+                    args[i] = a.astype(np.int32)
+                else:
+                    args[i], code_edges = _exact_rank_codes(a, e)
+                    ce = _bins_mod.CompareEdges(code_edges, 0)
+            elif a.dtype == np.float64:
+                a32 = a.astype(np.float32)
+                if np.array_equal(a32.astype(np.float64), a, equal_nan=True):
+                    args[i] = a32
+                else:
+                    args[i], code_edges = _exact_rank_codes(a, e)
+                    ce = _bins_mod.CompareEdges(code_edges, 0)
+        if ce is None:
+            ce = _bins_mod.compare_form(e, _device_dtype(args[i]))
+        edges_dev.append(jnp.asarray(ce.edges))
+        n_his.append(int(ce.n_hi_clip))
+    return args, tuple(edges_dev), tuple(n_his)
 
 
 @partial(
@@ -93,6 +162,7 @@ def _order_preserving_int32(a_np, edges_np):
         "method",
         "block_size",
         "has_weights",
+        "n_hi_clip",
     ),
 )
 def _histogram_impl(
@@ -107,6 +177,7 @@ def _histogram_impl(
     method,
     block_size,
     has_weights,
+    n_hi_clip=None,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -118,6 +189,8 @@ def _histogram_impl(
     """
     a0 = arrays[0]
     kshape = kept_shape(a0.shape, axis)
+    if n_hi_clip is None:
+        n_hi_clip = (0,) * len(arrays)
 
     # Canonical (kept_rows, reduce_cols) layout — reference core.py:211-229.
     with jax.named_scope("xhistogram.canonicalize"):
@@ -125,6 +198,11 @@ def _histogram_impl(
         weights_2d = canonicalize_2d(weights, axis) if has_weights else None
 
     full_reduce = kshape == ()
+
+    # Integer weights must stay exact end-to-end ('weighted counts take the
+    # weights dtype', reference core.py:363); the pallas kernels accumulate
+    # weights in float, so auto keeps them on the XLA strategies.
+    int_weights = has_weights and jnp.issubdtype(weights_2d.dtype, jnp.integer)
 
     if method == "auto" and jax.default_backend() == "tpu":
         # On TPU the fused Pallas kernels beat every XLA strategy by 1-2
@@ -134,12 +212,22 @@ def _histogram_impl(
 
         m_eff = 1 if full_reduce else arrays_2d[0].shape[0]
         c_eff = None if full_reduce else arrays_2d[0].shape[1]
-        if _pallas_supports(
-            len(arrays), nbins, m_eff, weighted=has_weights, c=c_eff
+        if (
+            not any(n_hi_clip)
+            and not int_weights
+            and _pallas_supports(
+                len(arrays), nbins, m_eff, weighted=has_weights, c=c_eff
+            )
         ):
             method = "pallas"
 
     if method == "pallas":
+        if any(n_hi_clip):
+            raise NotImplementedError(
+                "method='pallas' cannot represent bin edges at/beyond the "
+                "data dtype's top value (int max / +inf); use method='auto' "
+                "or an XLA strategy for this edge configuration"
+            )
         # Fully fused native kernel: digitize + joint index + MXU counting in
         # one pass over VMEM tiles (ops/pallas_hist.py). For full reductions
         # the inputs keep a minor-dim-preserving natural 2-D view — flattening
@@ -160,12 +248,20 @@ def _histogram_impl(
                 counts = pallas_histogram2d(
                     arrays_2d, edges, weights_2d, nbins
                 )
+        if int_weights:
+            # restore the 'weighted counts take the weights dtype' contract
+            # (explicit method='pallas' only; auto never routes int weights
+            # here — large integer totals may round through float32)
+            counts = counts.astype(weights_2d.dtype)
     else:
         # XLA pipeline: digitize each input, fuse into one trimmed joint
         # index with a trailing trash slot (reference core.py:157-192
         # semantics), then count with the selected strategy.
         with jax.named_scope("xhistogram.digitize"):
-            indices = [digitize_edges(a, e) for a, e in zip(arrays_2d, edges)]
+            indices = [
+                digitize_edges(a, e, n_hi_clip=nh)
+                for a, e, nh in zip(arrays_2d, edges, n_hi_clip)
+            ]
             g, n_slots = joint_bin_index(indices, nbins)
         with jax.named_scope("xhistogram.bincount"):
             counts = bincount2d(
@@ -249,15 +345,10 @@ def histogram(
         if nb < 1:
             raise ValueError("each bins spec must define at least one bin")
 
-    # Wide-integer numpy inputs: remap to int32 order-preservingly (datetime
-    # support; JAX has no 64-bit path here under default TPU config).
-    edges_for_device = list(edges_np)
-    if not jax.config.read("jax_enable_x64"):
-        for i, a in enumerate(args):
-            if isinstance(a, np.ndarray) and a.dtype in (np.int64, np.uint64):
-                args[i], edges_for_device[i] = _order_preserving_int32(
-                    a, np.asarray(edges_np[i], dtype=a.dtype)
-                )
+    # Exact device representation: wide numpy inputs remapped to rank codes,
+    # edges transformed to exact comparison form per input (datetime support;
+    # JAX has no 64-bit path here under default TPU config).
+    args, edges_dev, n_hi_clip = _prepare_device(args, edges_np)
 
     # Broadcast all inputs (+ weights) to one shape — reference core.py:366.
     to_bcast = list(args) + ([weights] if weights is not None else [])
@@ -292,14 +383,6 @@ def histogram(
                 f"accumulation) instead."
             )
 
-    # Edges on device in exact half-open comparison form (bins.py): bit-exact
-    # equivalence with wider-precision edge comparisons, closed last bin
-    # folded into an open upper bound.
-    edges_dev = tuple(
-        jnp.asarray(_bins_mod.edges_for_compare(e, np.dtype(a.dtype)))
-        for e, a in zip(edges_for_device, arrays_b)
-    )
-
     # Bin areas for density come from the original (untransformed) edges.
     bin_area = (
         jnp.asarray(_bins_mod.bin_areas(edges_np), jnp.float32)
@@ -318,5 +401,6 @@ def histogram(
         method=method,
         block_size=block_size,
         has_weights=weights is not None,
+        n_hi_clip=n_hi_clip,
     )
     return h, edges_np

@@ -35,18 +35,32 @@ import jax.numpy as jnp
 __all__ = ["digitize_edges", "joint_bin_index"]
 
 
-def digitize_edges(a, edges, dtype=jnp.int32):
+def digitize_edges(a, edges, dtype=jnp.int32, n_hi_clip=0):
     """Vectorized searchsorted-right against *half-open comparison edges*.
 
     ``edges`` must be sorted ascending and already in the half-open
-    comparison form produced by ``bins.edges_for_compare`` (the closed last
+    comparison form produced by ``bins.compare_form`` (the closed last
     bin is encoded as an open upper bound, so no equality fixup is needed —
     same final semantics as reference core.py:163-174). Works elementwise on
     any-shaped ``a``; returns ``dtype`` indices in ``[0, len(edges)]``.
+
+    ``n_hi_clip`` (static, from ``bins.compare_form``): number of thresholds
+    whose true value lies *above* the dtype's top value (int max / +inf) and
+    were clamped to it. Such a threshold is never really ≤ any value, but the
+    clamped edge compares ≤ the top value itself — so elements equal to the
+    top value subtract the count. This keeps e.g. ``a == iinfo.max`` in the
+    closed last bin when the last edge is at or beyond the dtype max (exact
+    numpy parity at the dtype boundary).
     """
     edges = jnp.asarray(edges)
     n_edges = edges.shape[0]
     idx = jnp.searchsorted(edges, a, side="right").astype(dtype)
+    if n_hi_clip:
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            top = jnp.asarray(jnp.inf, a.dtype)
+        else:
+            top = jnp.asarray(jnp.iinfo(a.dtype).max, a.dtype)
+        idx = idx - jnp.asarray(n_hi_clip, dtype) * (a == top).astype(dtype)
     if jnp.issubdtype(a.dtype, jnp.floating):
         # numpy sorts NaN after +inf → overflow slot (reference behavior:
         # NaNs digitize to the top slot then get trimmed, SURVEY.md §2.1).

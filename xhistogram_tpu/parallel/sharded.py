@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import bins as _bins_mod
-from ..core import _histogram_impl
+from ..core import _coerce_host, _histogram_impl, _prepare_device
 from ..utils.axes import normalize_axis
 
 __all__ = ["histogram_sharded", "reduce_spec"]
@@ -88,9 +88,13 @@ def histogram_sharded(
     if not args:
         raise ValueError("histogram_sharded() requires at least one input array")
 
+    args = [_coerce_host(a) for a in args]
     edges_np = _bins_mod.resolve_bin_edges(args, bins, range, weights)
     nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
 
+    # Exact device representation (wide-numpy remap + comparison-form edges;
+    # same host prep as the core path).
+    args, edges_dev, n_hi_clip = _prepare_device(args, edges_np)
     arrays = [jnp.asarray(a) for a in args]
     shape = arrays[0].shape
     for a in arrays[1:]:
@@ -107,12 +111,6 @@ def histogram_sharded(
     out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
     n_inputs = len(arrays)
 
-    # Exact half-open comparison form (see bins.edges_for_compare).
-    edges_dev = tuple(
-        jnp.asarray(_bins_mod.edges_for_compare(e, np.dtype(a.dtype)))
-        for e, a in zip(edges_np, arrays)
-    )
-
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
 
     h = _sharded_impl(
@@ -128,6 +126,7 @@ def histogram_sharded(
         block_size=block_size,
         has_weights=weights is not None,
         psum_axes=psum_axes,
+        n_hi_clip=n_hi_clip,
     )
 
     if density:
@@ -155,6 +154,7 @@ def histogram_sharded(
         "block_size",
         "has_weights",
         "psum_axes",
+        "n_hi_clip",
     ),
 )
 def _sharded_impl(
@@ -171,6 +171,7 @@ def _sharded_impl(
     block_size,
     has_weights,
     psum_axes,
+    n_hi_clip=None,
 ):
     """Module-level jitted shard_map program (cached across calls; Mesh and
     PartitionSpec are hashable statics). Local reduced-axis ids are unchanged
@@ -201,6 +202,7 @@ def _sharded_impl(
             method=method,
             block_size=block_size,
             has_weights=has_weights,
+            n_hi_clip=n_hi_clip,
         )
         if psum_axes:
             counts = jax.lax.psum(counts, psum_axes)
