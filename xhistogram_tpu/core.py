@@ -16,8 +16,11 @@ array bin specs — rebuilt TPU-first:
     explicit shard_map control.
 
 dtype rules: unweighted counts are int32 (TPU-native word size; the reference
-uses int64 — values are identical whenever counts < 2**31), weighted counts
-take the weights dtype (reference core.py:363), density results are floating.
+uses int64 — values are identical whenever counts < 2**31); reductions where
+one output row spans >= 2**31 elements switch to chunked uint32-pair
+accumulation and return exact numpy int64 (the reference's full int64
+contract, core.py:363). Weighted counts take the weights dtype (reference
+core.py:363); density results are floating.
 """
 
 from __future__ import annotations
@@ -39,6 +42,14 @@ from .utils.axes import (
 )
 
 __all__ = ["histogram"]
+
+# `range` is a histogram keyword (reference API name, core.py:19-20)
+_builtin_range = range
+
+# One output row reducing this many elements could overflow an int32 bin;
+# such reductions switch to chunked uint32-pair accumulation (tests lower
+# this to exercise the path at small sizes).
+_WIDE_LIMIT = 2**31
 
 
 def _coerce_host(x):
@@ -163,6 +174,7 @@ def _prepare_device(args, edges_np):
         "block_size",
         "has_weights",
         "n_hi_clip",
+        "wide_limit",
     ),
 )
 def _histogram_impl(
@@ -178,6 +190,7 @@ def _histogram_impl(
     block_size,
     has_weights,
     n_hi_clip=None,
+    wide_limit=None,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -204,69 +217,109 @@ def _histogram_impl(
     # weights in float, so auto keeps them on the XLA strategies.
     int_weights = has_weights and jnp.issubdtype(weights_2d.dtype, jnp.integer)
 
-    if method == "auto" and jax.default_backend() == "tpu":
-        # On TPU the fused Pallas kernels beat every XLA strategy by 1-2
-        # orders of magnitude (measured; see BASELINE.md) — use them whenever
-        # the problem shape fits their VMEM envelopes.
-        from .ops.pallas_hist import supports as _pallas_supports
+    def _count_once(parts_2d, w_2d, nat_views=None, nat_w=None):
+        """Counts (rows, prod(nbins)+1 incl. trash slot) for one data chunk.
 
-        m_eff = 1 if full_reduce else arrays_2d[0].shape[0]
-        c_eff = None if full_reduce else arrays_2d[0].shape[1]
-        if (
-            not any(n_hi_clip)
-            and not int_weights
-            and _pallas_supports(
-                len(arrays), nbins, m_eff, weighted=has_weights, c=c_eff
-            )
-        ):
-            method = "pallas"
+        ``nat_views`` (full reductions only): minor-dim-preserving natural
+        2-D views of the inputs for the pallas kernel — flattening to
+        (1, size) would force a real HBM retiling copy, since pallas
+        operands are materialized buffers. The XLA strategies use the flat
+        ``parts_2d`` layout either way.
+        """
+        mth = method
+        if mth == "auto" and jax.default_backend() == "tpu":
+            # On TPU the fused Pallas kernels beat every XLA strategy by 1-2
+            # orders of magnitude (measured; see BASELINE.md) — use them
+            # whenever the problem shape fits their VMEM envelopes.
+            from .ops.pallas_hist import supports as _pallas_supports
 
-    if method == "pallas":
-        if any(n_hi_clip):
-            raise NotImplementedError(
-                "method='pallas' cannot represent bin edges at/beyond the "
-                "data dtype's top value (int max / +inf); use method='auto' "
-                "or an XLA strategy for this edge configuration"
-            )
-        # Fully fused native kernel: digitize + joint index + MXU counting in
-        # one pass over VMEM tiles (ops/pallas_hist.py). For full reductions
-        # the inputs keep a minor-dim-preserving natural 2-D view — flattening
-        # to (1, size) would force a real HBM retiling copy, since pallas
-        # operands are materialized buffers.
-        from .ops.pallas_hist import pallas_histogram2d
-
-        with jax.named_scope("xhistogram.pallas_kernel"):
-            if full_reduce:
-                counts = pallas_histogram2d(
-                    [flatten_keep_minor(a) for a in arrays],
-                    edges,
-                    flatten_keep_minor(weights) if has_weights else None,
-                    nbins,
-                    reduce_all=True,
+            m_eff = 1 if nat_views is not None else parts_2d[0].shape[0]
+            c_eff = None if nat_views is not None else parts_2d[0].shape[1]
+            if (
+                not any(n_hi_clip)
+                and not int_weights
+                and _pallas_supports(
+                    len(parts_2d), nbins, m_eff, weighted=has_weights, c=c_eff
                 )
-            else:
-                counts = pallas_histogram2d(
-                    arrays_2d, edges, weights_2d, nbins
+            ):
+                mth = "pallas"
+
+        if mth == "pallas":
+            if any(n_hi_clip):
+                raise NotImplementedError(
+                    "method='pallas' cannot represent bin edges at/beyond "
+                    "the data dtype's top value (int max / +inf); use "
+                    "method='auto' or an XLA strategy for this edge "
+                    "configuration"
                 )
-        if int_weights:
-            # restore the 'weighted counts take the weights dtype' contract
-            # (explicit method='pallas' only; auto never routes int weights
-            # here — large integer totals may round through float32)
-            counts = counts.astype(weights_2d.dtype)
+            # Fully fused native kernel: digitize + joint index + MXU
+            # counting in one pass over VMEM tiles (ops/pallas_hist.py).
+            from .ops.pallas_hist import pallas_histogram2d
+
+            with jax.named_scope("xhistogram.pallas_kernel"):
+                if nat_views is not None:
+                    counts = pallas_histogram2d(
+                        nat_views, edges, nat_w, nbins, reduce_all=True
+                    )
+                else:
+                    counts = pallas_histogram2d(parts_2d, edges, w_2d, nbins)
+            if int_weights:
+                # restore the 'weighted counts take the weights dtype'
+                # contract (explicit method='pallas' only; auto never routes
+                # int weights here — large integer totals may round through
+                # float32)
+                counts = counts.astype(w_2d.dtype)
+        else:
+            # XLA pipeline: digitize each input, fuse into one trimmed joint
+            # index with a trailing trash slot (reference core.py:157-192
+            # semantics), then count with the selected strategy.
+            with jax.named_scope("xhistogram.digitize"):
+                indices = [
+                    digitize_edges(a, e, n_hi_clip=nh)
+                    for a, e, nh in zip(parts_2d, edges, n_hi_clip)
+                ]
+                g, n_slots = joint_bin_index(indices, nbins)
+            with jax.named_scope("xhistogram.bincount"):
+                counts = bincount2d(
+                    g, w_2d, n_slots, method=mth, block_size=block_size
+                )
+        return counts
+
+    if wide_limit is not None:
+        # 64-bit-exact unweighted counts (the reference's int64 contract,
+        # reference core.py:363): one output row reduces >= 2**31 elements,
+        # so int32 partials could overflow. Chunk the reduce columns so each
+        # chunk count fits int32, then accumulate in a uint32 (hi, lo) pair
+        # with explicit carries — TPU-native 64-bit without an int64 dtype.
+        # The caller combines the pair into numpy int64 host-side.
+        m_rows, c_cols = arrays_2d[0].shape
+        step = int(wide_limit) - 1
+        import math as _math
+
+        n_slots_all = _math.prod(int(nb) for nb in nbins) + 1
+        lo = jnp.zeros((m_rows, n_slots_all), jnp.uint32)
+        hi = jnp.zeros((m_rows, n_slots_all), jnp.uint32)
+        for s in range(0, c_cols, step):
+            parts = [a[:, s : s + step] for a in arrays_2d]
+            p = _count_once(parts, None).astype(jnp.uint32)
+            new_lo = lo + p
+            hi = hi + (new_lo < lo).astype(jnp.uint32)  # wrap ⟹ carry
+            lo = new_lo
+        out_shape = kshape + tuple(nbins)
+        return (
+            hi[:, :-1].reshape(out_shape),
+            lo[:, :-1].reshape(out_shape),
+        )
+
+    if full_reduce:
+        counts = _count_once(
+            arrays_2d,
+            weights_2d,
+            nat_views=[flatten_keep_minor(a) for a in arrays],
+            nat_w=flatten_keep_minor(weights) if has_weights else None,
+        )
     else:
-        # XLA pipeline: digitize each input, fuse into one trimmed joint
-        # index with a trailing trash slot (reference core.py:157-192
-        # semantics), then count with the selected strategy.
-        with jax.named_scope("xhistogram.digitize"):
-            indices = [
-                digitize_edges(a, e, n_hi_clip=nh)
-                for a, e, nh in zip(arrays_2d, edges, n_hi_clip)
-            ]
-            g, n_slots = joint_bin_index(indices, nbins)
-        with jax.named_scope("xhistogram.bincount"):
-            counts = bincount2d(
-                g, weights_2d, n_slots, method=method, block_size=block_size
-            )
+        counts = _count_once(arrays_2d, weights_2d)
     counts = counts[:, :-1]  # drop the trash slot (== reference's [1:-1] trim)
 
     h = counts.reshape(kshape + tuple(nbins))
@@ -327,7 +380,9 @@ def histogram(
     Returns
     -------
     hist : jax.Array — counts (int32), weighted sums (weights dtype), or
-        density (float).
+        density (float). Unweighted reductions where one output row spans
+        >= 2**31 elements return exact numpy int64 counts instead
+        (64-bit-safe chunked accumulation; eager calls only).
     bin_edges : list of np.ndarray (or the given arrays when traced).
     """
     if not args:
@@ -362,11 +417,13 @@ def histogram(
 
     axis_t = normalize_axis(axis, arrays_b[0].ndim)
 
-    # int32 count-overflow guard: counts accumulate in int32 (TPU word
-    # size; the reference returns int64, core.py:363). A single bin can
-    # only exceed 2**31-1 if one row reduces that many elements — refuse
-    # loudly instead of overflowing silently (StreamingHistogram
-    # accumulates chunks in host int64 and has no such cap).
+    # int64 count contract (reference core.py:363): unweighted counts
+    # accumulate in int32 (TPU word size), which a single bin can only
+    # exceed if one output row reduces >= 2**31 elements. Such reductions
+    # switch to the chunked uint32-pair path inside the jitted pipeline and
+    # combine to numpy int64 host-side — eager calls only (a traced caller
+    # cannot receive an int64 result under 32-bit jax).
+    wide_limit = None
     if weights is None:
         shape = arrays_b[0].shape
         reduced = (
@@ -374,19 +431,22 @@ def histogram(
             if axis_t is not None
             else int(np.prod(shape))
         )
-        if reduced >= 2**31:
-            raise ValueError(
-                f"unweighted counts are int32 and one output row reduces "
-                f"{reduced} elements (>= 2**31): a bin could overflow. "
-                f"Stream chunks through "
-                f"xhistogram_tpu.StreamingHistogram (host int64 "
-                f"accumulation) instead."
-            )
+        if reduced >= _WIDE_LIMIT:
+            if any(_bins_mod.is_traced(a) for a in arrays_b):
+                raise ValueError(
+                    f"one output row reduces {reduced} elements (>= 2**31): "
+                    f"exact counts need 64-bit accumulation, which cannot "
+                    f"be returned to a traced caller under 32-bit jax. "
+                    f"Call histogram() eagerly (returns numpy int64), "
+                    f"enable jax_enable_x64, or stream chunks through "
+                    f"xhistogram_tpu.StreamingHistogram."
+                )
+            wide_limit = _WIDE_LIMIT
 
     # Bin areas for density come from the original (untransformed) edges.
     bin_area = (
         jnp.asarray(_bins_mod.bin_areas(edges_np), jnp.float32)
-        if density
+        if density and wide_limit is None
         else None
     )
 
@@ -397,10 +457,22 @@ def histogram(
         bin_area,
         axis=axis_t,
         nbins=nbins,
-        density=bool(density),
+        density=bool(density) and wide_limit is None,
         method=method,
         block_size=block_size,
         has_weights=weights is not None,
         n_hi_clip=n_hi_clip,
+        wide_limit=wide_limit,
     )
+    if wide_limit is not None:
+        hi, lo = h
+        h = (np.asarray(hi).astype(np.int64) << 32) + np.asarray(lo).astype(
+            np.int64
+        )
+        if density:
+            # host-side density over the exact int64 counts (float64 math —
+            # the reference normalizes in float64 too, core.py:444-462)
+            bin_axes = tuple(_builtin_range(-n_inputs, 0))
+            totals = h.sum(axis=bin_axes, keepdims=True)
+            h = h / _bins_mod.bin_areas(edges_np) / totals
     return h, edges_np
