@@ -1,0 +1,71 @@
+"""Kernel-selection single source of truth: supports() and _dispatch both
+consume ops.pallas_hist.plan(), so the 'auto' gate can never admit a shape
+the dispatcher would route differently (VERDICT r1 #6).
+"""
+
+import math
+
+import pytest
+
+from xhistogram_tpu.ops import pallas_hist as ph
+
+
+def _shape_grid():
+    cases = []
+    for nbins in [(64,), (1024,), (2000,), (280, 340), (2048, 2048),
+                  (4096, 4096), (16, 16, 16), (8000,), (9000,)]:
+        for m in (1, 4, 64, 4096):
+            for c in (64, 256, 100_000):
+                for weighted in (False, True):
+                    cases.append((nbins, m, c, weighted))
+    return cases
+
+
+@pytest.mark.parametrize("nbins,m,c,weighted", _shape_grid())
+def test_supports_is_plan(nbins, m, c, weighted):
+    n_inputs = len(nbins)
+    assert ph.supports(n_inputs, nbins, m, weighted=weighted, c=c) == (
+        ph.plan(n_inputs, nbins, m, c=c, weighted=weighted) is not None
+    )
+
+
+def test_plan_known_boundaries():
+    # full-reduce single input, small bins → the membership-row kernel
+    assert ph.plan(1, (300,), 1) == "one_input"
+    # classic T-S joint grid, full reduce → joint2
+    assert ph.plan(2, (280, 340), 1) == "joint2"
+    # big joint grid, full reduce → factored (slot cap 2^23 unweighted)
+    assert ph.plan(2, (2048, 2048), 1) == "factored"
+    assert ph.plan(2, (4096, 4096), 1, weighted=True) is None  # > 2^22
+    # kept rows, wide reduce axis, large grid → per-row factored
+    assert ph.plan(2, (280, 340), 64, c=100_000) == "factored_per_row"
+    # kept rows, narrow reduce axis, small grid → direct
+    assert ph.plan(2, (40, 40), 64, c=64) == "direct"
+    # kept rows, narrow reduce axis, big grid → XLA fallback
+    assert ph.plan(2, (280, 340), 64, c=64) is None
+    # edge-count cap (8192 total edges incl. the +1 per input)
+    assert ph.plan(1, (8191,), 1) == "factored"
+    assert ph.plan(1, (8192,), 1) is None
+
+
+def test_plan_matches_dispatch_choice():
+    """The dispatcher must actually run the kernel plan() names — smoke a
+    few shapes through the real dispatch on the interpret backend and check
+    parity (the choice itself is structural: _dispatch reads plan())."""
+    import numpy as np
+
+    from xhistogram_tpu.core import histogram
+
+    rng = np.random.RandomState(0)
+    for nbins, m, c in [((16,), 4, 64), ((8, 8), 4, 512), ((8, 6), 1, 300)]:
+        edges = [np.linspace(-3, 3, nb + 1) for nb in nbins]
+        data = [rng.randn(m, c).astype("f4") for _ in nbins]
+        h, _ = histogram(*data, bins=edges, axis=1, method="pallas")
+        flat = [d.reshape(m, c) for d in data]
+        expected = np.stack(
+            [
+                np.histogramdd([f[i] for f in flat], bins=edges)[0]
+                for i in range(m)
+            ]
+        )
+        np.testing.assert_array_equal(np.asarray(h), expected)

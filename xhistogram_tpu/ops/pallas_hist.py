@@ -63,7 +63,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_histogram2d", "supports"]
+__all__ = ["pallas_histogram2d", "supports", "plan"]
 
 _LANE = 128
 _SUB = 8  # f32 sublane tile
@@ -111,51 +111,83 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
-    """Whether a Pallas kernel handles this problem shape *efficiently*
-    (the dispatcher itself accepts anything; 'auto' uses this to decide
-    pallas vs the XLA strategies).
+def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None):
+    """Single source of truth for kernel selection: the kernel name this
+    problem shape runs on efficiently, or ``None`` when the XLA strategies
+    are the better/safer choice. BOTH ``supports()`` ('auto' upstream
+    gating) and ``_dispatch`` (actual kernel choice) consume this table, so
+    the boundaries cannot drift apart.
 
-    Weighted faithful-nonfinite mode carries 3 extra per-slot channel
+    ``m == 1`` means a full reduction (the canonical layout of reduce-all).
+    ``n_outs`` is the number of per-slot output accumulators the weighted
+    kernels carry (1 + Kahan/faithful channels); None = the conservative
+    worst case (5) used by upstream gating before the weights dtype is
+    known. Weighted faithful-nonfinite mode carries 3 extra per-slot channel
     accumulators (see _weighted_dot), so its VMEM-resident joint-grid cap is
     lower. Kept-row (m > 1) problems ride ``one_input``/``direct`` for small
     grids and the per-row factored kernel for large ones — the latter needs
     a reasonably wide reduce axis (c) to fill its per-row tiles.
     """
     n_real = math.prod(int(b) for b in nbins)
+    n_slots = n_real + 1
     # The n1-chunked factored kernel handles any grid; the cap is where the
     # O(slots)/element MXU work approaches the XLA-sort fallback (measured:
     # factored 0.13 GB/s vs sort 0.01 at 4M slots on v5e — crossover is far
     # beyond 8M). The edge cap bounds the O(Σ n_edges) VPU digitize AND the
     # unrolled compile time (~40 s at 8k edges with 32-wide chunks;
     # measured 14x faster than sort warm at 8000 bins).
-    slot_cap = 1 << 23
-    if weighted:
-        slot_cap = 1 << 22  # 2 matmul sections
+    slot_cap = (1 << 22) if weighted else (1 << 23)  # weighted: 2 sections
+    edges_ok = sum(nbins) + n_inputs <= 8192
+
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
         # to the slot cap, as long as the per-element digitize cost
         # (Σ n_edges compares on the VPU) stays sane
-        return n_real + 1 <= slot_cap and sum(nbins) + n_inputs <= 8192
+        if n_inputs == 1 and nbins[0] <= 1024:
+            return "one_input"
+        if n_slots > slot_cap or not edges_ok:
+            return None
+        if (
+            n_inputs == 2
+            and _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536
+        ):
+            return "joint2"
+        return "factored"
+
     # Kept rows: every pallas branch materializes (m, PADDED slots) output
-    # blocks, times up to 5 for weighted (Kahan compensation + 3 faithful
+    # blocks, times n_outs for weighted (Kahan compensation + 3 faithful
     # channels). Bound the total at 2^28 f32 elements (1 GB) — beyond that
     # the XLA strategies (single unpadded output) are the safer choice.
-    n_slots = n_real + 1
+    if n_outs is None:
+        n_outs = 5 if weighted else 1
     n1, log2_n2 = _pick_factorization(n_slots)
     padded_slots = max(n1 << log2_n2, _round_up(n_slots, 1024))
-    if m * padded_slots * (5 if weighted else 1) > (1 << 28):
-        return False
+    if m * padded_slots * n_outs > (1 << 28):
+        return None
     if n_inputs == 1 and nbins[0] <= 1024:
-        return True
-    if n_slots <= 8192:
-        return True
-    # per-row factored: large joint grids with kept rows
-    return (
+        return "one_input"
+    # per-row factored beats direct at every measured grid size (direct's G
+    # build costs O(n_slots) VPU ops/element and its matmul O(tm·n_slots)
+    # MACs, factored O(√slots) VPU + O(slots) MACs; measured 7.3 vs 6.3 GB/s
+    # at 256 slots, 7x at 7200 — scripts/perrow_perf.py) as long as the
+    # reduce axis is wide enough to fill its per-row tiles
+    if (
         n_slots <= slot_cap // 2
-        and sum(nbins) + n_inputs <= 8192
+        and edges_ok
         and (c is None or c >= 256)
-    )
+        and m > 1
+    ):
+        return "factored_per_row"
+    if n_slots <= 8192:
+        return "direct"
+    return None
+
+
+def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
+    """Whether a Pallas kernel handles this problem shape *efficiently*
+    (the dispatcher itself accepts anything; 'auto' uses this to decide
+    pallas vs the XLA strategies). Thin view over ``plan``."""
+    return plan(n_inputs, nbins, m, c=c, weighted=weighted) is not None
 
 
 def _max_fill(dtype):
@@ -1228,37 +1260,35 @@ def _interpret():
 def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
-    n_real = math.prod(int(b) for b in nbins)
-    if n_inputs == 1 and nbins[0] <= 1024:
-        return _run_one_input(
-            arrays_2d[0], weights_2d, edges[0], nbins, reduce_all
-        )
-    if (
-        n_inputs == 2
-        and reduce_all
-        and _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536
-    ):
-        return _run_joint2(
-            arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
-        )
-    if reduce_all:
-        # any input count, any joint grid up to the slot cap
-        return _run_factored(arrays_2d, edges, weights_2d, nbins)
-    # kept rows: per-row factored beats direct at every measured grid size
-    # (direct's G build costs O(n_slots) VPU ops/element and its matmul
-    # O(tm·n_slots) MACs, factored O(√slots) VPU + O(slots) MACs; measured
-    # 7.3 vs 6.3 GB/s at 256 slots, 7x at 7200 — scripts/perrow_perf.py) as
-    # long as the reduce axis is wide enough to fill its per-row tiles and
-    # the per-row padded output doesn't blow HBM (supports() mirrors this)
-    n1, log2_n2 = _pick_factorization(n_real + 1)
     n_outs = 1
     if weights_2d is not None:
         n_outs += _weighted_extra_outputs(_faithful_mode(weights_2d))
-    if (
-        c >= 256
-        and m > 1
-        and m * (n1 << log2_n2) * n_outs <= (1 << 28)
-    ):
+    # reduce_all inputs may be natural (m', c') views of the flat element
+    # set; the plan's canonical full-reduce layout is m == 1
+    kernel = plan(
+        n_inputs,
+        nbins,
+        1 if reduce_all else m,
+        c=None if reduce_all else c,
+        weighted=weights_2d is not None,
+        n_outs=n_outs,
+    )
+    if kernel is None:
+        # Explicit method='pallas' call outside the efficient envelope:
+        # honor it with the most general kernel for the layout ('auto'
+        # never lands here — supports() gates on the same plan()).
+        kernel = "factored" if reduce_all else "direct"
+    if kernel == "one_input":
+        return _run_one_input(
+            arrays_2d[0], weights_2d, edges[0], nbins, reduce_all
+        )
+    if kernel == "joint2":
+        return _run_joint2(
+            arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
+        )
+    if kernel == "factored":
+        return _run_factored(arrays_2d, edges, weights_2d, nbins)
+    if kernel == "factored_per_row":
         return _run_factored(
             list(arrays_2d), edges, weights_2d, nbins, per_row=True
         )

@@ -178,6 +178,14 @@ def _sharded_impl(
     under shard_map — shapes shrink, positions don't — so ``axis`` is reused
     as-is on the local shard."""
 
+    # pallas_call outputs carry no varying-mesh-axes annotation, so the VMA
+    # check must be skipped when a pallas kernel may run (the psum
+    # establishes the replication explicitly); every other method keeps
+    # JAX's verification on — it is free there.
+    may_use_pallas = method == "pallas" or (
+        method == "auto" and jax.default_backend() == "tpu"
+    )
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -187,9 +195,7 @@ def _sharded_impl(
             tuple(P() for _ in edges),
         ),
         out_specs=out_spec,
-        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
-        # VMA check (the psum establishes the replication explicitly)
-        check_vma=False,
+        check_vma=not may_use_pallas,
     )
     def _local(arrays_l, weights_l, edges_l):
         counts = _histogram_impl(
