@@ -1,0 +1,95 @@
+"""Compiled-pipeline cache of the labeled wrapper: repeated calls reuse one
+jitted device program, and the cache key is the *content* of the edges —
+changing bin values (same shapes) must never serve stale results
+(VERDICT r1 #8).
+"""
+
+import numpy as np
+
+import xhistogram_tpu.labeled.api as api
+from xhistogram_tpu.labeled import NamedArray, histogram
+
+
+def _mk(seed=0, shape=(4, 32)):
+    rng = np.random.RandomState(seed)
+    return NamedArray(
+        rng.randn(*shape).astype("f4"), ("time", "x"), name="T",
+        attrs={"units": "degC"},
+    )
+
+
+def test_cache_hit_same_config():
+    api._PIPELINE_CACHE.clear()
+    a = _mk()
+    edges = np.linspace(-3, 3, 9)
+    h1 = histogram(a, bins=edges, dim=["x"])
+    n_entries = len(api._PIPELINE_CACHE)
+    h2 = histogram(a, bins=edges.copy(), dim=["x"])  # same content, new array
+    assert len(api._PIPELINE_CACHE) == n_entries  # content-keyed: reused
+    np.testing.assert_array_equal(h1.values, h2.values)
+    expected = np.stack(
+        [np.histogram(r, bins=edges)[0] for r in np.asarray(a.data, "f8")]
+    )
+    np.testing.assert_array_equal(h2.values, expected)
+
+
+def test_cache_miss_on_bin_value_change():
+    api._PIPELINE_CACHE.clear()
+    a = _mk(1)
+    e1 = np.linspace(-3, 3, 9)
+    e2 = np.linspace(-2, 2, 9)  # same shape/dtype, different values
+    h1 = histogram(a, bins=e1, dim=["x"])
+    h2 = histogram(a, bins=e2, dim=["x"])
+    for h, e in ((h1, e1), (h2, e2)):
+        expected = np.stack(
+            [np.histogram(r, bins=e)[0] for r in np.asarray(a.data, "f8")]
+        )
+        np.testing.assert_array_equal(h.values, expected)
+    np.testing.assert_allclose(h1.coords["T_bin"].values,
+                               0.5 * (e1[:-1] + e1[1:]))
+    np.testing.assert_allclose(h2.coords["T_bin"].values,
+                               0.5 * (e2[:-1] + e2[1:]))
+
+
+def test_uncacheable_specs_still_work():
+    api._PIPELINE_CACHE.clear()
+    a = _mk(2)
+    h = histogram(a, bins=5)  # int spec: data-dependent, uncached
+    assert len(api._PIPELINE_CACHE) == 0
+    expected = np.histogram(np.asarray(a.data, "f8"), bins=5)[0]
+    np.testing.assert_array_equal(h.values, expected)
+    h = histogram(a, bins=5, range=(-2, 2))
+    expected = np.histogram(np.asarray(a.data, "f8"), bins=5,
+                            range=(-2, 2))[0]
+    np.testing.assert_array_equal(h.values, expected)
+
+
+def test_wide_numpy_dtypes_take_exact_path():
+    api._PIPELINE_CACHE.clear()
+    vals = np.array([0, 1, 2, 2**40], dtype=np.int64)
+    a = NamedArray(vals, ("x",), name="n")
+    edges = np.array([0.5, 1.5, 2.5, 2.0**41])
+    h = histogram(a, bins=edges)
+    assert len(api._PIPELINE_CACHE) == 0  # exact host remap, uncached
+    np.testing.assert_array_equal(h.values, np.histogram(vals, bins=edges)[0])
+
+
+def test_cache_eviction_cap():
+    api._PIPELINE_CACHE.clear()
+    old_cap = api._PIPELINE_CACHE_CAP
+    api._PIPELINE_CACHE_CAP = 3
+    try:
+        rng = np.random.RandomState(3)
+        a = NamedArray(rng.randn(8).astype("f4"), ("x",), name="T")
+        for k in range(5):
+            edges = np.linspace(-3, 3, 4 + k)
+            histogram(a, bins=edges)
+        assert len(api._PIPELINE_CACHE) <= 3
+        # evicted configs still recompute correctly
+        e0 = np.linspace(-3, 3, 4)
+        h = histogram(a, bins=e0)
+        np.testing.assert_array_equal(
+            h.values, np.histogram(np.asarray(a.data, "f8"), bins=e0)[0]
+        )
+    finally:
+        api._PIPELINE_CACHE_CAP = old_cap

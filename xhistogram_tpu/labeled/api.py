@@ -1,36 +1,189 @@
 """Labeled histogram API (the reference's xarray layer, rebuilt).
 
-``histogram`` reproduces the full labeled contract of
+``histogram`` provides the full labeled contract of
 ``xhistogram.xarray.histogram`` (reference xarray.py:13-201): reduce over
 named ``dim``s, preserve the remaining dims, emit bin-center coordinates
 (named ``<input name> + bin_dim_suffix``) carrying each input's attrs, carry
 kept-dim coordinates (plus compatible extra coords under ``keep_coords``),
 and name the output ``histogram_<name1>_<name2>...``.
 
-It never touches binning math: labels are converted to positional axes, data
-is handed to ``xhistogram_tpu.core.histogram``, and labels are rebuilt — the
-same strict layering as the reference (L4 never touches bins, SURVEY.md §1).
+Structure (own decomposition, not the reference's):
+
+  validate → union-dim layout plan → positional dispatch → relabel
+
+It never touches binning math: labels become positional axes, data goes to
+``xhistogram_tpu.core.histogram``, labels are rebuilt — the same strict
+layering as the reference (L4 never touches bins, SURVEY.md §1).
+
+Repeated calls with the same (shapes, dtypes, dims, explicit edges, kwargs)
+— the per-timestep diagnostics pattern — hit a compiled-pipeline cache: the
+layout transforms, broadcast, and the counting pipeline all run as ONE jitted
+device call with the edges baked in as constants (no per-call host re-work
+or edge re-uploads). Data-dependent bin specs (int/str) and wide numpy
+dtypes that need the exact host remap fall back to the uncached exact path.
 
 Inputs may be ``labeled.NamedArray`` or any duck-compatible labeled type
 (e.g. ``xarray.DataArray``): the function only uses ``dims / coords / attrs /
-name / data / expand_dims / transpose / get_axis_num / reset_coords``.
+name / data / reset_coords``.
 """
 
 from __future__ import annotations
 
-from collections import OrderedDict
+import numpy as np
 
 from .. import bins as _bins_mod
-from ..core import histogram as _histogram
+from ..core import histogram as _positional_histogram
 from .array import NamedArray
 
 __all__ = ["histogram"]
 
+_LABEL_SURFACE = ("dims", "coords", "data", "name")
 
-def _is_labeled(a):
-    return all(
-        hasattr(a, attr) for attr in ("dims", "coords", "data", "name")
-    )
+
+def _require_labeled(operands, named=True):
+    for a in operands:
+        if not all(hasattr(a, attr) for attr in _LABEL_SURFACE):
+            raise TypeError(
+                "labeled histogram accepts only labeled arrays (NamedArray /"
+                f" xarray.DataArray) but a {type(a).__name__} was provided"
+            )
+        if named and a.name is None:
+            raise ValueError("all labeled arrays must have a name")
+
+
+def _union_sizes(operands):
+    """Ordered {dim: size} union over operands with an exact-join size check
+    — the reference's xr.align(join="exact") contract
+    (reference xarray.py:126,133-138)."""
+    sizes = {}
+    for a in operands:
+        for d, s in zip(a.dims, a.data.shape):
+            if sizes.setdefault(d, s) != s:
+                raise ValueError(
+                    f"cannot align: dim {d!r} has conflicting sizes"
+                    f" {sizes[d]} and {s}"
+                )
+    return sizes
+
+
+def _union_dims(operands):
+    """Ordered union of operand dims (first-seen order), exact-join checked."""
+    return list(_union_sizes(operands))
+
+
+def _layout_plan(operand_dims, union):
+    """(n_new_leading, permutation) placing an operand's data on the union
+    dim order: missing dims become leading length-1 axes, then a transpose
+    lines everything up. The permutation is None when already in order."""
+    have = list(operand_dims)
+    missing = [d for d in union if d not in have]
+    expanded = missing + have
+    perm = tuple(expanded.index(d) for d in union)
+    if perm == tuple(range(len(union))):
+        perm = None
+    return len(missing), perm
+
+
+def _apply_plan(data, plan):
+    n_new, perm = plan
+    if n_new:
+        data = data.reshape((1,) * n_new + data.shape)
+    if perm is not None:
+        data = data.transpose(perm)
+    return data
+
+
+def _reduction_axes(union, dim):
+    """dim names → (positional axis tuple | None, kept dim names)."""
+    if dim is None:
+        return None, []
+    dim = [dim] if isinstance(dim, str) else list(dim)
+    for d in dim:
+        if d not in union:
+            raise ValueError(f"dimension {d!r} not found in inputs")
+    kept = [d for d in union if d not in dim]
+    return tuple(union.index(d) for d in dim), kept
+
+
+# --------------------------------------------------------------------------
+# compiled-pipeline cache (explicit-edge calls only)
+
+_PIPELINE_CACHE = {}
+_PIPELINE_CACHE_CAP = 128
+
+
+def _edges_signature(bins, n_inputs):
+    """Hashable content signature of an explicit-edge bins spec, or None when
+    the spec is data-dependent (int/str — uncacheable by construction)."""
+    try:
+        per_input = _bins_mod.normalize_bins(bins, n_inputs)
+    except ValueError:
+        return None  # let the uncached path raise the contract error
+    sig = []
+    for b in per_input:
+        if not isinstance(b, np.ndarray):
+            return None
+        sig.append((b.tobytes(), str(b.dtype), b.shape))
+    return tuple(sig)
+
+
+def _device_safe(x):
+    """A device-dtype-lossless view of ``x`` for the jitted fast path, or
+    None when the value needs the exact host remap (core._prepare_device):
+    wide numpy ints out of int32 range, float64 that doesn't round-trip
+    float32, datetime."""
+    if not isinstance(x, np.ndarray):
+        return x  # jax arrays already carry device dtypes
+    if x.dtype.kind in "Mm":
+        return None
+    if x.dtype in (np.int64, np.uint64):
+        if x.size == 0:
+            return x.astype(np.int32)
+        lo, hi = int(x.min()), int(x.max())
+        i32 = np.iinfo(np.int32)
+        if i32.min <= lo and hi <= i32.max:
+            return x.astype(np.int32)
+        return None
+    if x.dtype == np.float64:
+        x32 = x.astype(np.float32)
+        if np.array_equal(x32.astype(np.float64), x, equal_nan=True):
+            return x32
+        return None
+    return x
+
+
+def _cached_pipeline(key, edges_np, plans, axis, density, block_size, method,
+                     weighted):
+    """One jitted function per configuration: layout + broadcast + count in
+    a single device program, edges baked in as compile-time constants."""
+    entry = _PIPELINE_CACHE.get(key)
+    if entry is not None:
+        return entry
+
+    import jax
+
+    def run(*flat):
+        datas = [_apply_plan(d, p) for d, p in zip(flat, plans)]
+        w = datas.pop() if weighted else None
+        h, _ = _positional_histogram(
+            *datas,
+            bins=edges_np,
+            axis=axis,
+            weights=w,
+            density=density,
+            block_size=block_size,
+            method=method,
+        )
+        return h
+
+    entry = jax.jit(run)
+    if len(_PIPELINE_CACHE) >= _PIPELINE_CACHE_CAP:
+        _PIPELINE_CACHE.pop(next(iter(_PIPELINE_CACHE)))
+    _PIPELINE_CACHE[key] = entry
+    return entry
+
+
+# --------------------------------------------------------------------------
 
 
 def histogram(
@@ -51,103 +204,106 @@ def histogram(
     of dimension names to reduce (default: all). Returns a ``NamedArray``
     (counts/weighted sums/density) with bin-center coordinates.
     """
-    args = list(args)
-    n_args = len(args)
-    n_weights = 1 if weights is not None else 0
-
-    for a in args:
-        if not _is_labeled(a):
-            raise TypeError(
-                "labeled histogram accepts only labeled arrays (NamedArray / "
-                f"xarray.DataArray) but a {type(a).__name__} was provided"
-            )
-    for a in args:
-        if a.name is None:
-            raise ValueError("all labeled arrays must have a name")
+    inputs = list(args)
+    n_inputs = len(inputs)
+    _require_labeled(inputs)
+    if weights is not None:
+        # weights need labels for alignment but no name (reference requires
+        # names only of the histogrammed inputs, xarray.py:116-117)
+        _require_labeled([weights], named=False)
 
     # Drop non-dim coords to simplify alignment unless asked to keep them
     # (reference xarray.py:120-123).
     if not keep_coords:
-        args = [a.reset_coords(drop=True) for a in args]
-    if n_weights:
-        args = args + [weights.reset_coords(drop=True)]
+        inputs = [a.reset_coords(drop=True) for a in inputs]
+        if weights is not None:
+            weights = weights.reset_coords(drop=True)
+    operands = inputs + ([weights] if weights is not None else [])
 
-    # Exact-join alignment: shared dims must agree in size
-    # (reference uses xr.align(join="exact"), xarray.py:126).
-    sizes = {}
-    for a in args:
-        for d, s in zip(a.dims, a.data.shape):
-            if sizes.setdefault(d, s) != s:
-                raise ValueError(
-                    f"cannot align: dim {d!r} has conflicting sizes "
-                    f"{sizes[d]} and {s}"
-                )
+    union = _union_dims(operands)
+    plans = [_layout_plan(a.dims, union) for a in operands]
+    axis, kept_dims = _reduction_axes(union, dim)
 
-    a0 = args[0]
-    a_coords = a0.coords
+    raw = [a.data for a in operands]
+    cacheable = range is None
+    if cacheable and weights is None:
+        # unweighted reductions of >= 2**31 elements per output row need the
+        # eager int64 wide-count path — never trace them (core contract)
+        import math as _math
 
-    # Manual broadcast: union of dims in first-seen order, expand + transpose
-    # (reference xarray.py:133-149).
-    all_dims = [d for a in args for d in a.dims]
-    all_dims_ordered = list(OrderedDict.fromkeys(all_dims))
-    args_transposed = []
-    for a in args:
-        expand_keys = [d for d in all_dims_ordered if d not in a.dims]
-        if expand_keys:
-            a = a.expand_dims({k: 1 for k in expand_keys})
-        if tuple(a.dims) != tuple(all_dims_ordered):
-            a = a.transpose(*all_dims_ordered)
-        args_transposed.append(a)
-    args_data = [a.data for a in args_transposed]
+        from ..core import _WIDE_LIMIT
 
-    if n_weights:
-        weights_data = args_data.pop()
+        sizes = dict(_union_sizes(operands))
+        reduce_dims = union if dim is None else (
+            [dim] if isinstance(dim, str) else list(dim)
+        )
+        reduced = _math.prod(sizes.get(d, 1) for d in reduce_dims)
+        cacheable = reduced < _WIDE_LIMIT
+    edges_sig = _edges_signature(bins, n_inputs) if cacheable else None
+    safe = [_device_safe(d) for d in raw] if edges_sig is not None else None
+
+    if edges_sig is not None and all(s is not None for s in safe):
+        # fast path: one jitted device call, edges as constants
+        edges_np = [
+            np.asarray(b)
+            for b in _bins_mod.normalize_bins(bins, n_inputs)
+        ]
+        key = (
+            edges_sig,
+            tuple((s.shape, str(s.dtype)) for s in safe),
+            tuple(plans),
+            axis,
+            bool(density),
+            block_size,
+            method,
+            weights is not None,
+        )
+        run = _cached_pipeline(
+            key, edges_np, plans, axis, density, block_size, method,
+            weights is not None,
+        )
+        h_data = run(*safe)
+        edges = edges_np
     else:
-        weights_data = None
+        # exact path: host prep (wide-dtype remaps, data-dependent bin
+        # resolution) happens inside core.histogram
+        laid_out = [_apply_plan(d, p) for d, p in zip(raw, plans)]
+        w_data = laid_out.pop() if weights is not None else None
+        h_data, edges = _positional_histogram(
+            *laid_out,
+            bins=bins,
+            range=range,
+            axis=axis,
+            weights=w_data,
+            density=density,
+            block_size=block_size,
+            method=method,
+        )
 
-    if dim is not None:
-        dim = [dim] if isinstance(dim, str) else list(dim)
-        for d in dim:
-            if d not in all_dims_ordered:
-                raise ValueError(f"dimension {d!r} not found in inputs")
-        dims_to_keep = [d for d in all_dims_ordered if d not in dim]
-        axis = tuple(args_transposed[0].get_axis_num(d) for d in dim)
-    else:
-        dims_to_keep = []
-        axis = None
-
-    h_data, edges = _histogram(
-        *args_data,
-        weights=weights_data,
-        bins=bins,
-        range=range,
-        axis=axis,
-        density=density,
-        block_size=block_size,
-        method=method,
+    return _relabel(
+        h_data, edges, inputs, kept_dims, keep_coords, bin_dim_suffix
     )
 
-    # Rebuild labels (reference xarray.py:174-199).
-    new_dims = [a.name + bin_dim_suffix for a in args[:n_args]]
-    output_dims = dims_to_keep + new_dims
 
-    new_coords = {
-        name: ((name,), _bins_mod.bin_centers(e), dict(a.attrs))
-        for name, e, a in zip(new_dims, edges, args)
-    }
+def _relabel(h_data, edges, inputs, kept_dims, keep_coords, bin_dim_suffix):
+    """Output labels (reference xarray.py:174-199): kept dims first, one
+    ``<name><suffix>`` bin dim per input with bin-center coords carrying the
+    input's attrs; kept-dim coords (and, under ``keep_coords``, any other
+    first-input coord whose dims survive) come along."""
+    bin_dims = [str(a.name) + bin_dim_suffix for a in inputs]
+    out_dims = list(kept_dims) + bin_dims
 
-    old_dim_coords = {
-        name: a0.coords[name] for name in dims_to_keep if name in a_coords
-    }
-
-    all_coords = {}
-    all_coords.update(old_dim_coords)
-    all_coords.update(new_coords)
+    coords = {}
+    first = inputs[0]
+    for d in kept_dims:
+        if d in first.coords:
+            coords[d] = first.coords[d]
+    for bdim, e, a in zip(bin_dims, edges, inputs):
+        coords[bdim] = ((bdim,), _bins_mod.bin_centers(e), dict(a.attrs))
     if keep_coords:
-        for c in a_coords:
-            if c not in all_coords and set(a_coords[c].dims).issubset(output_dims):
-                all_coords[c] = a_coords[c]
+        for cname, cval in first.coords.items():
+            if cname not in coords and set(cval.dims).issubset(out_dims):
+                coords[cname] = cval
 
-    output_name = "_".join(["histogram"] + [str(a.name) for a in args[:n_args]])
-
-    return NamedArray(h_data, output_dims, coords=all_coords, name=output_name)
+    name = "_".join(["histogram"] + [str(a.name) for a in inputs])
+    return NamedArray(h_data, out_dims, coords=coords, name=name)

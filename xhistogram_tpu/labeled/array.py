@@ -61,6 +61,15 @@ class NamedArray:
             if isinstance(cdims, str):
                 cdims = (cdims,)
             coord = NamedArray(np.asarray(cdata), cdims, name=cname, attrs=cattrs)
+        elif hasattr(cval, "dims") and hasattr(cval, "data"):
+            # duck labeled coord (e.g. an xarray coordinate DataArray):
+            # keep its own dims/attrs — may span several of this array's dims
+            coord = NamedArray(
+                np.asarray(cval.data),
+                tuple(cval.dims),
+                name=cname,
+                attrs=dict(getattr(cval, "attrs", {}) or {}),
+            )
         else:
             coord = NamedArray(np.asarray(cval), (cname,), name=cname)
         for d in coord.dims:
