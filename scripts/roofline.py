@@ -1,0 +1,116 @@
+"""Measured roofline table per kernel x config (doc/perf_model.md source).
+
+For each kernel on its canonical config: achieved element rate / GB/s, the
+theoretical MAC and VPU-op counts per element, the implied MXU/VPU roof,
+and the fraction of the binding roof achieved. v5e constants: MXU 197
+TFLOP/s bf16 (2 flops/MAC), VPU ~3.9 Tops/s f32, HBM ~800 GB/s.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/roofline.py
+(device-side checksum timing; see scripts/cliff_perf.py notes)
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xhistogram_tpu.core import _histogram_impl
+from xhistogram_tpu import bins as bins_mod
+from xhistogram_tpu.ops import pallas_hist as ph
+
+MXU = 197e12 / 2  # MAC/s
+VPU = 3.9e12
+HBM = 800e9
+
+
+def timeit(fn, n=3):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    np.asarray(r)
+    return (time.perf_counter() - t0) / n
+
+
+def edges_dev(e, dt=np.float32):
+    return jnp.asarray(bins_mod.edges_for_compare(np.asarray(e), dt))
+
+
+def run(name, nbins, m, c, n_inputs, weighted, macs_per_elem, vpu_per_elem,
+        method="pallas", axis=(1,)):
+    eds = tuple(
+        edges_dev(np.linspace(-4, 4, nb + 1)) for nb in nbins
+    )
+    elems = m * c
+    nbytes = elems * 4 * (n_inputs + (1 if weighted else 0))
+
+    @jax.jit
+    def f():
+        k = jax.random.PRNGKey(0)
+        arrs = tuple(
+            jax.random.normal(jax.random.fold_in(k, i), (m, c), jnp.float32)
+            for i in range(n_inputs)
+        )
+        w = (jax.random.uniform(jax.random.fold_in(k, 9), (m, c),
+                                jnp.float32) if weighted else None)
+        h = _histogram_impl(
+            arrs, w, eds, axis=axis, nbins=nbins, density=False,
+            method=method, block_size="auto", has_weights=weighted,
+        )
+        return jnp.sum(h.astype(jnp.float32))
+
+    try:
+        dt = timeit(f)
+    except Exception as e:
+        print(f"| {name} | FAILED {type(e).__name__} |", flush=True)
+        return
+    rate = elems / dt
+    roof_mxu = MXU / max(macs_per_elem, 1e-9)
+    roof_vpu = VPU / max(vpu_per_elem, 1e-9)
+    roof_hbm = HBM / (nbytes / elems)
+    roof = min(roof_mxu, roof_vpu, roof_hbm)
+    binding = ["MXU", "VPU", "HBM"][
+        [roof_mxu, roof_vpu, roof_hbm].index(roof)
+    ]
+    print(
+        f"| {name} | {elems:.0e} | {rate/1e9:.2f} Ge/s "
+        f"({nbytes/dt/1e9:.1f} GB/s) | {macs_per_elem:.0f} | "
+        f"{vpu_per_elem:.0f} | {roof/1e9:.2f} Ge/s ({binding}) | "
+        f"{100*rate/roof:.0f}% |",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend(), flush=True)
+    print("| kernel/config | elems | achieved | MACs/e | VPUops/e |"
+          " binding roof | % |", flush=True)
+    print("|---|---|---|---|---|---|---|", flush=True)
+    # one_input: 64 bins; cum rows 72 pad → MACs 8·72, VPU ≈ 2·72 + ~20
+    run("one_input 64b full-reduce", (64,), 8, 125_000_000, 1, False,
+        8 * 72, 2 * 72 + 20, axis=None)
+    # joint2 bench config: MACs (288·344), VPU ≈ 2·(288+344)
+    run("joint2 280x340 full-reduce", (280, 340), 8, 62_500_000, 2, False,
+        288 * 344, 2 * (288 + 344) + 20, axis=None)
+    # joint2 weighted split: 2 bf16 sections → 2x MACs
+    run("joint2 280x340 weighted(split)", (280, 340), 8, 25_000_000, 2,
+        True, 2 * 288 * 344, 3 * (288 + 344) + 40, axis=None)
+    # factored 1M slots: n1≈976·n2=1024; VPU = Σedges + n1c+n2 per chunk
+    run("factored 1000x1000 full-reduce", (1000, 1000), 8, 6_250_000, 2,
+        False, 1_000_000, 2 * 2002 + 2 * 3000, axis=None)
+    # per-row factored 150x90 (13.5k slots): padded ≈ 13824
+    run("factored_per_row m=1000 c=1e5 150x90", (150, 90), 1000, 100_000,
+        1 + 1, False, 14_000, 2 * 242 + 2 * 500, axis=(1,))
+    # packed m=16384 c=64 120x90: S = 8·10801 ≈ padded 88k; tiles hold
+    # 8·64 real of 8·128 → 2x fill penalty on MACs
+    # per-tile MACs padded(8·10801)≈88064 over 8·64 real elems → 172/e
+    run("factored_packed m=16384 c=64 120x90", (120, 90), 16384, 64,
+        2, False, 172, 2 * 213 + 2 * 1000, axis=(1,))
+    # direct m=1000 c=64 40x40 (1601 slots → 1664 pad): MACs 8·1664,
+    # VPU ≈ 3·1664 (G build) + digitize 82
+    run("direct m=1000 c=64 40x40", (40, 40), 1000, 64, 2, False,
+        8 * 1664, 3 * 1664 + 164, axis=(1,))
+    # fori digitize, 16384 bins 1 input: VPU = 2·16392 compare+add
+    run("factored 16384 bins (fori digitize)", (16384,), 8, 6_250_000, 1,
+        False, 2 * 16512 / 8, 2 * 16512, axis=None)

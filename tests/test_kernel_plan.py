@@ -34,18 +34,26 @@ def test_plan_known_boundaries():
     assert ph.plan(1, (300,), 1) == "one_input"
     # classic T-S joint grid, full reduce → joint2
     assert ph.plan(2, (280, 340), 1) == "joint2"
-    # big joint grid, full reduce → factored (slot cap 2^23 unweighted)
+    # big joint grid, full reduce → factored (slot cap 2^24 unweighted,
+    # measured 2x the sort fallback at the cap — scripts/cliff_perf.py r2)
     assert ph.plan(2, (2048, 2048), 1) == "factored"
+    assert ph.plan(2, (4096, 4095), 1) == "factored"  # 16.8M < 2^24
+    assert ph.plan(2, (4097, 4096), 1) is None
     assert ph.plan(2, (4096, 4096), 1, weighted=True) is None  # > 2^22
     # kept rows, wide reduce axis, large grid → per-row factored
     assert ph.plan(2, (280, 340), 64, c=100_000) == "factored_per_row"
     # kept rows, narrow reduce axis, small grid → direct
     assert ph.plan(2, (40, 40), 64, c=64) == "direct"
-    # kept rows, narrow reduce axis, big grid → XLA fallback
-    assert ph.plan(2, (280, 340), 64, c=64) is None
-    # edge-count cap (8192 total edges incl. the +1 per input)
-    assert ph.plan(1, (8191,), 1) == "factored"
-    assert ph.plan(1, (8192,), 1) is None
+    # kept rows, narrow reduce axis, big grid → packed factored (r2: was an
+    # XLA-sort cliff)
+    assert ph.plan(2, (280, 340), 64, c=64) == "factored_packed"
+    # packed slot cap: 8 rows per tile × slots ≤ slot cap
+    assert ph.plan(2, (1024, 1024), 64, c=64) == "factored_packed"
+    assert ph.plan(2, (2048, 1024), 64, c=64) is None
+    # edge-count cap (total edges incl. the +1 per input; r2: fori digitize
+    # lifted it from 8192 to _MAX_EDGES)
+    assert ph.plan(1, (ph._MAX_EDGES - 2,), 1) == "factored"
+    assert ph.plan(1, (ph._MAX_EDGES,), 1) is None
 
 
 def test_plan_matches_dispatch_choice():

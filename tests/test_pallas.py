@@ -228,3 +228,85 @@ def test_factored_n1_chunking_multi_row_tiles(monkeypatch):
     expected, _, _ = np.histogram2d(a.ravel(), b.ravel(),
                                     bins=[bins_a, bins_b])
     np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_factored_packed_narrow_reduce_axis():
+    """Kept rows with a NARROW reduce axis (c < 256) and a grid beyond the
+    direct kernel's 8192-slot cap: the packed factored kernel stacks several
+    rows' slot spaces into one factored space (r2 — previously an XLA-sort
+    cliff)."""
+    rng = np.random.RandomState(20)
+    a = rng.randn(16, 64).astype("f4")
+    b = rng.randn(16, 64).astype("f4")
+    bins_a = np.linspace(-4, 4, 121)   # 120 x 90 = 10800 slots > 8192
+    bins_b = np.linspace(-4, 4, 91)
+    h, _ = histogram(a, b, bins=[bins_a, bins_b], axis=1, method="pallas")
+    assert h.shape == (16, 120, 90)
+    for r in range(16):
+        expected, _, _ = np.histogram2d(a[r], b[r], bins=[bins_a, bins_b])
+        np.testing.assert_array_equal(np.asarray(h)[r], expected)
+
+
+def test_factored_packed_few_rows_fold_interplay():
+    """Packed mode with m < 8 (rows first split into synthetic sub-rows,
+    then rpt = 8/f rows packed per tile) and an odd column count."""
+    rng = np.random.RandomState(21)
+    data = rng.randn(3, 45).astype("f4")
+    edges = np.linspace(-4, 4, 9001)   # 9000 bins > 8192 slots, c=45 < 256
+    h, _ = histogram(data, bins=edges, axis=1, method="pallas")
+    expected = np.stack([np.histogram(r, bins=edges)[0] for r in data])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_factored_packed_weighted_nan_inf():
+    """Packed mode with weights incl. nonfinite values (faithful channels
+    must stay per-row exact through the stacked slot space)."""
+    rng = np.random.RandomState(22)
+    a = rng.randn(9, 100).astype("f4")
+    w = rng.rand(9, 100).astype("f4")
+    w[0, 3] = np.nan
+    w[4, 7] = np.inf
+    edges = np.linspace(-4, 4, 10001)  # 10000 bins
+    h, _ = histogram(a, bins=edges, weights=w, axis=1, method="pallas")
+    for r in range(9):
+        # scatter-semantics oracle (np.histogram's cumsum path would smear a
+        # NaN weight across all later bins; the library contract is
+        # np.bincount-style single-bin poisoning — see ops/nonfinite.py)
+        idx = np.searchsorted(edges, a[r].astype("f8"), side="right") - 1
+        idx = np.where(a[r].astype("f8") == edges[-1], len(edges) - 2, idx)
+        expected = np.zeros(len(edges) - 1)
+        for e, ww in zip(idx, w[r].astype("f8")):
+            if 0 <= e < len(expected):
+                expected[e] += ww
+        np.testing.assert_allclose(
+            np.asarray(h)[r], expected, rtol=1e-4, atol=1e-4, equal_nan=True
+        )
+
+
+def test_fori_digitize_many_edges():
+    """Total edge counts past the unroll threshold run the fori-loop
+    digitize (r2 — the 8192-edge cap became a runtime crossover at
+    _MAX_EDGES); counts stay bit-exact."""
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    rng = np.random.RandomState(23)
+    data = rng.randn(100_000).astype("f4")
+    edges = np.linspace(-4, 4, ph._DIG_UNROLL_MAX + 513)  # forces fori path
+    h, _ = histogram(data, bins=edges, method="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(h), np.histogram(data, bins=edges)[0]
+    )
+
+
+def test_fori_digitize_kept_rows_direct():
+    """fori digitize through the direct kernel (kept rows, small slots is
+    impossible with >1024 edges — use per-row factored shapes instead but
+    force many edges per input)."""
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    rng = np.random.RandomState(24)
+    data = rng.randn(4, 600).astype("f4")
+    edges = np.linspace(-4, 4, ph._DIG_UNROLL_MAX + 257)
+    h, _ = histogram(data, bins=edges, axis=1, method="pallas")
+    expected = np.stack([np.histogram(r, bins=edges)[0] for r in data])
+    np.testing.assert_array_equal(np.asarray(h), expected)

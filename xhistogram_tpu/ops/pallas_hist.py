@@ -83,6 +83,14 @@ _VMEM_LIMIT = int(_os.environ.get("XHIST_VMEM_LIMIT", 64 << 20))
 # wider chunks mean fewer unrolled compare+sum steps (compile time scales
 # with the step count for many-edge bins) at a slightly larger rank-3 temp.
 _DIG_CHUNK = int(_os.environ.get("XHIST_DIG_CHUNK", 32))
+# Edge count beyond which the digitize loop switches from a python unroll
+# (best Mosaic pipelining) to a fori_loop over aligned dynamic chunks
+# (compile time stays O(1) in the edge count; runtime stays linear).
+_DIG_UNROLL_MAX = int(_os.environ.get("XHIST_DIG_UNROLL_MAX", 1024))
+# Total-edge cap of the fused kernels (the per-element digitize is O(edges)
+# VPU work; beyond this the XLA strategies win). The fori digitize keeps
+# compile time flat, so the cap is a runtime crossover, not a compile bound.
+_MAX_EDGES = int(_os.environ.get("XHIST_MAX_EDGES", 32768))
 
 
 def _compiler_params():
@@ -131,13 +139,13 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None):
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
     # The n1-chunked factored kernel handles any grid; the cap is where the
-    # O(slots)/element MXU work approaches the XLA-sort fallback (measured:
-    # factored 0.13 GB/s vs sort 0.01 at 4M slots on v5e — crossover is far
-    # beyond 8M). The edge cap bounds the O(Σ n_edges) VPU digitize AND the
-    # unrolled compile time (~40 s at 8k edges with 32-wide chunks;
-    # measured 14x faster than sort warm at 8000 bins).
-    slot_cap = (1 << 22) if weighted else (1 << 23)  # weighted: 2 sections
-    edges_ok = sum(nbins) + n_inputs <= 8192
+    # O(slots)/element MXU work approaches the XLA-sort fallback (measured
+    # r2, scripts/cliff_perf.py: factored is 4x sort at 4.2M slots and
+    # still 2x at 16.8M — crossover ~32M, cap at 2^24). The edge cap bounds
+    # the O(Σ n_edges) VPU digitize (fori-loop body, flat compile time;
+    # measured 40x sort at 4k edges, 4.7x at 32k — the cap).
+    slot_cap = (1 << 22) if weighted else (1 << 24)  # weighted: 2 sections
+    edges_ok = sum(nbins) + n_inputs <= _MAX_EDGES
 
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
@@ -180,6 +188,12 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None):
         return "factored_per_row"
     if n_slots <= 8192:
         return "direct"
+    # narrow reduce axes (c < 256) with big grids: pack rpt kept rows' slot
+    # spaces into one factored space so tiles stay full (per-row tiles would
+    # be mostly padding below c ~ 256 = 2·_LANE columns per sub-row)
+    rpt = _SUB // (1 if m >= _SUB else _SUB // m)
+    if rpt * n_slots <= slot_cap and edges_ok and m > 1:
+        return "factored_packed"
     return None
 
 
@@ -403,6 +417,36 @@ def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
     while tc > _LANE and tc >= 2 * max(c_syn, 1):
         tc //= 2
     return tc
+
+
+def _digitize_tile(a, edges_ref):
+    """Branchless searchsorted-right of a (tm, tc) tile against a VMEM edge
+    column (ne_pad, 1) in half-open comparison form (bins.compare_form);
+    returns int32 indices in [0, ne]. Small edge sets unroll (Mosaic
+    pipelines the compare chain); large ones run a fori_loop over aligned
+    dynamic chunks so compile time stays O(1) in the edge count."""
+    ne_pad = edges_ref.shape[0]
+    tm, tc = a.shape
+    step = min(_DIG_CHUNK, ne_pad)
+    if ne_pad <= _DIG_UNROLL_MAX:
+        idx = jnp.zeros((tm, tc), jnp.int32)
+        for e0 in range(0, ne_pad, step):
+            chunk = edges_ref[e0 : e0 + step, :]  # (step, 1)
+            cmp = a[None, :, :] >= chunk[:, :, None]  # (step, tm, tc)
+            idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
+        return idx
+
+    def body(s, idx):
+        # dynamic VMEM ref load (pl.ds start is a multiple of the sublane
+        # tile: step is 8-aligned); lax.dynamic_slice on a loaded array is
+        # NOT lowerable by Mosaic — the ref-indexed form is
+        chunk = edges_ref[pl.ds(s * step, step), :]
+        cmp = a[None, :, :] >= chunk[:, :, None]
+        return idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
+
+    return jax.lax.fori_loop(
+        0, ne_pad // step, body, jnp.zeros((tm, tc), jnp.int32)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -791,7 +835,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
 
 def _factored_kernel(
     *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1c, log2_n2, weighted,
-    per_row, faithful,
+    per_row, faithful, rpt=1,
 ):
     """Digitize → flat joint slot id g → split into integer sub-indices
     (g1, g2) = (g >> log2_n2, g & (n2-1)) → equality one-hots → one matmul
@@ -851,14 +895,8 @@ def _factored_kernel(
     valid = in_bounds
     for k in range(n_inputs):
         a = data_refs[k][...]
-        edges = edge_refs[k]  # (ne_pad, 1), +max padded, half-open transform
-        ne_pad = edges.shape[0]
-        idx = jnp.zeros((tm, tc), jnp.int32)
-        step = min(_DIG_CHUNK, ne_pad)
-        for e0 in range(0, ne_pad, step):
-            chunk = edges[e0 : e0 + step, :]
-            cmp = a[None, :, :] >= chunk[:, :, None]
-            idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
+        # edge_refs[k]: (ne_pad, 1), +max padded, half-open transform
+        idx = _digitize_tile(a, edge_refs[k])
         t = (idx - 1).reshape(1, e_elems)
         ok = (t >= 0) & (t <= nbins[k] - 1)
         valid = valid & ok
@@ -866,6 +904,12 @@ def _factored_kernel(
         g = t if g is None else g * nbins[k] + t
     n_real = math.prod(nbins)
     g = jnp.where(valid, g, n_real)  # trash slot (also covers padding)
+    if rpt > 1:
+        # packed mode: rpt distinct kept rows share each tile; stack their
+        # slot spaces so one factored matmul counts all of them with full
+        # tiles (the narrow-reduce-axis regime where per-row tiles would be
+        # mostly padding)
+        g = g + (local_row // f) * (n_real + 1)
 
     g1 = g >> log2_n2  # (1, E) integer sub-indices
     g2 = g & (n2 - 1)
@@ -913,17 +957,25 @@ def _pick_factorization(n_slots):
     return best[1], best[2]
 
 
-def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
+def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
+                  packed=False):
+    """``per_row``: one tile per kept row (wide reduce axes). ``packed``:
+    several kept rows per tile with their slot spaces stacked into one
+    factored space — full tiles for narrow reduce axes (c < 256) where
+    per-row tiles would be mostly padding; MXU work is rpt x a single row's
+    but amortized over rpt rows of real elements."""
     m, c = arrays_2d[0].shape
     n_inputs = len(arrays_2d)
     faithful = _faithful_mode(weights_2d)
     arrays_2d, weights_2d, m_syn, c_syn, f = _fold_rows(
-        list(arrays_2d), weights_2d, m, c, force_full=per_row
+        list(arrays_2d), weights_2d, m, c, force_full=per_row and not packed
     )
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
+    rpt = (_SUB // f) if packed else 1
+    per_row = per_row or packed  # packed shares the per-row grid/output form
 
-    n1, log2_n2 = _pick_factorization(n_slots)
+    n1, log2_n2 = _pick_factorization(rpt * n_slots)
     n2 = 1 << log2_n2
 
     weighted = weights_2d is not None
@@ -1008,6 +1060,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
             weighted=weighted,
             per_row=per_row,
             faithful=faithful,
+            rpt=rpt,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1021,7 +1074,11 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False):
         compiler_params=_compiler_params(),
     )(*operands)
 
-    if per_row:
+    if packed:
+        def post(x):
+            x = x.reshape(m_pad // tm, n1_pad * n2)[:, : rpt * n_slots]
+            return x.reshape((m_pad // tm) * rpt, n_slots)[:m]
+    elif per_row:
         def post(x):
             return x.reshape(m_pad // tm, n1_pad * n2)[:m, :n_slots]
     else:
@@ -1081,16 +1138,9 @@ def _direct_kernel(
     valid = in_bounds
     for k in range(n_inputs):
         a = data_refs[k][...]
-        edges = edge_refs[k]  # (ne_pad, 1) column, padded with +max
-        ne_pad = edges.shape[0]
         # branchless searchsorted-right over pre-transformed half-open edges
-        # (no inclusive-last-bin fixup needed; bins.edges_for_compare)
-        idx = jnp.zeros((tm, tc), jnp.int32)
-        step = min(_DIG_CHUNK, ne_pad)
-        for e0 in range(0, ne_pad, step):
-            chunk = edges[e0 : e0 + step, :]  # (step, 1)
-            cmp = a[None, :, :] >= chunk[:, :, None]  # (step, tm, tc)
-            idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
+        # (no inclusive-last-bin fixup needed; bins.compare_form)
+        idx = _digitize_tile(a, edge_refs[k])
         t = (idx - 1).reshape(1, e_elems)  # data-derived reshape
         ok = (t >= 0) & (t <= nbins[k] - 1)
         valid = valid & ok
@@ -1291,6 +1341,10 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
     if kernel == "factored_per_row":
         return _run_factored(
             list(arrays_2d), edges, weights_2d, nbins, per_row=True
+        )
+    if kernel == "factored_packed":
+        return _run_factored(
+            list(arrays_2d), edges, weights_2d, nbins, packed=True
         )
     return _run_direct(list(arrays_2d), edges, weights_2d, nbins)
 
