@@ -97,6 +97,22 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
+# Unweighted one-hot matmuls run int8·int8→int32 on the MXU: v5e does int8
+# at 2x the bf16 rate AND the accumulation becomes purely integral (no f32
+# round trip). Probed on this chip r2 (scripts/int8_reprobe.py — the r1
+# toolchain could not lower int8 matmuls; this one can). Env escape hatch
+# in case a future toolchain regresses.
+_INT8_ONEHOT = _os.environ.get("XHIST_INT8_ONEHOT", "1") == "1"
+
+
+def _onehot_dtypes():
+    """(one-hot operand dtype, matmul accumulator dtype) for unweighted
+    counting matmuls."""
+    if _INT8_ONEHOT:
+        return jnp.int8, jnp.int32
+    return jnp.bfloat16, jnp.float32
+
+
 # Weighted-matmul mode: "split" decomposes f32 weights into two bf16 parts
 # (hi + lo, ~17 mantissa bits; two bf16 matmuls ≈ 2x unweighted cost);
 # "highest" keeps full-f32 MXU passes (exact, ~5x unweighted cost).
@@ -513,11 +529,12 @@ def _one_input_kernel(
     else:
         # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
         # per-bin counts are exact integer differences, taken by the wrapper
-        A = (a_row >= lo_ref[...]).astype(jnp.bfloat16)
+        oh_dt, acc_dt = _onehot_dtypes()
+        A = (a_row >= lo_ref[...]).astype(oh_dt)
         counts = jax.lax.dot_general(
-            R_bool.astype(jnp.bfloat16), A,
+            R_bool.astype(oh_dt), A,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )  # (tm, rows_pad) cumulative counts
 
     if reduce_all:
@@ -699,11 +716,12 @@ def _joint2_kernel(
         # cumulative compare rows (1 op per edge); the joint per-bin counts
         # are the exact 2-D inclusion-exclusion differences, taken by the
         # wrapper: c[i,j] = cum[i,j] - cum[i+1,j] - cum[i,j+1] + cum[i+1,j+1]
-        A = ((a_row >= alo_ref[...]) & ok_row).astype(jnp.bfloat16)
-        B = (b_row >= blo_ref[...]).astype(jnp.bfloat16)
+        oh_dt, acc_dt = _onehot_dtypes()
+        A = ((a_row >= alo_ref[...]) & ok_row).astype(oh_dt)
+        B = (b_row >= blo_ref[...]).astype(oh_dt)
         counts = jax.lax.dot_general(
             A, B, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )  # (nba_pad, nbb_pad)
 
     @pl.when((i == 0) & (j == 0))
@@ -917,18 +935,20 @@ def _factored_kernel(
     r1 = n * n1c + jax.lax.broadcasted_iota(jnp.int32, (n1c, 1), 0)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
     A1 = r1 == g1  # (n1c, E) equality one-hot for this n1 chunk
-    A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
 
     flags = None
     if weighted:
+        A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
         counts, flags = _weighted_dot(
             A1, w_ref[...].reshape(1, e_elems), A2, faithful
         )
     else:
+        oh_dt, acc_dt = _onehot_dtypes()
+        A2 = (r2 == g2).astype(oh_dt)  # (n2, E)
         counts = jax.lax.dot_general(
-            A1.astype(jnp.bfloat16), A2,
+            A1.astype(oh_dt), A2,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )  # (n1c, n2)
 
     @pl.when((j == 0) if per_row else ((i == 0) & (j == 0)))
@@ -1157,16 +1177,18 @@ def _direct_kernel(
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     R_bool = m_col == local_row
     flags = None
-    G_bf = G.astype(jnp.bfloat16)
     if weighted:
+        G_bf = G.astype(jnp.bfloat16)
         counts, flags = _weighted_dot(
             R_bool, w_ref[...].reshape(1, e_elems), G_bf, faithful
         )
     else:
+        oh_dt, acc_dt = _onehot_dtypes()
+        G_bf = G.astype(oh_dt)
         counts = jax.lax.dot_general(
-            R_bool.astype(jnp.bfloat16), G_bf,
+            R_bool.astype(oh_dt), G_bf,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )
 
     @pl.when(j == 0)
