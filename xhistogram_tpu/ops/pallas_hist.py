@@ -589,8 +589,9 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
         fixed = (1 + n_x) * tm * nb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
+        bpe_oh = 2 if _INT8_ONEHOT else 4  # int8 one-hots: ~2 B live/entry
         tc = _MAX_TC
-        while tm * tc * nb_out * 4 > _VMEM_BUDGET and tc > _LANE:
+        while tm * tc * nb_out * bpe_oh > _VMEM_BUDGET and tc > _LANE:
             tc //= 2
         while tc > _LANE and tc >= 2 * max(c_syn, 1):
             tc //= 2  # don't pad columns beyond the (folded) row width
@@ -770,8 +771,14 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
         fixed = (1 + n_x) * nba_out * nbb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
+        # int8 one-hots store 1 B/entry (bool compare + int8 cast ≈ 2 B
+        # live) vs 4 B for f32-era temps — bigger tiles per VMEM budget
+        bpe_oh = 2 if _INT8_ONEHOT else 4
         tc = _MAX_TC
-        while tm * tc * (nba_out + nbb_out) * 4 > _VMEM_BUDGET and tc > _LANE:
+        while (
+            tm * tc * (nba_out + nbb_out) * bpe_oh > _VMEM_BUDGET
+            and tc > _LANE
+        ):
             tc //= 2
         while tc > _LANE and tc >= 2 * max(c_syn, 1):
             tc //= 2  # don't pad columns beyond the (folded) row width
@@ -1021,8 +1028,9 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         fixed = n_outs * n1c * n2 * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
+        bpe_oh = 2 if _INT8_ONEHOT else 4  # int8 one-hots: ~2 B live/entry
         tc = _MAX_TC
-        while tm * tc * (n1c + n2) * 4 > _VMEM_BUDGET and tc > _LANE:
+        while tm * tc * (n1c + n2) * bpe_oh > _VMEM_BUDGET and tc > _LANE:
             tc //= 2
         while tc > _LANE and tc >= 2 * max(c_syn, 1):
             tc //= 2
