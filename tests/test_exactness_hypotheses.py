@@ -1,0 +1,117 @@
+"""Property-based dtype/edge exactness (the r2 analog of the reference's
+hypothesis-over-chunkings suite, aimed at the comparison machinery instead):
+arbitrary data dtypes x adversarial edges (values at rounding cutovers,
+dtype boundaries, duplicated/denormal-spaced edges) must reproduce
+np.histogram bit-exactly through the whole pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from xhistogram_tpu.core import histogram
+
+pytest.importorskip("hypothesis")
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+
+
+def _np_parity(data, edges):
+    h, _ = histogram(data, bins=edges)
+    expected = np.histogram(data, bins=edges)[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+@st.composite
+def int_problems(draw):
+    dtype = draw(st.sampled_from([np.int32, np.int64, np.uint64]))
+    info = np.iinfo(dtype)
+    scale = draw(st.integers(1, 62))
+    base = draw(st.integers(max(info.min, -(2**scale)),
+                            min(info.max, 2**scale)))
+    spread = draw(st.integers(1, 2**scale))
+    vals = draw(
+        st.lists(
+            st.integers(max(info.min, base - spread),
+                        min(info.max, base + spread)),
+            min_size=1, max_size=64,
+        )
+    )
+    # always include the dtype boundaries (the r1 corner class)
+    vals = vals + [info.min, info.max]
+    n_edges = draw(st.integers(2, 8))
+    if draw(st.booleans()):
+        # float edges near the data (incl. fractional + rounding cutovers)
+        es = draw(
+            st.lists(
+                st.floats(float(base - spread), float(base + spread + 1),
+                          allow_nan=False, allow_subnormal=False),
+                min_size=n_edges, max_size=n_edges,
+            )
+        )
+        edges = np.sort(np.asarray(es, np.float64))
+    else:
+        es = draw(
+            st.lists(
+                st.integers(max(info.min, base - spread),
+                            min(info.max, base + spread)),
+                min_size=n_edges, max_size=n_edges,
+            )
+        )
+        edges = np.sort(np.asarray(es, np.int64))
+    return np.asarray(vals, dtype), edges
+
+
+@given(int_problems())
+@settings(max_examples=60, deadline=None)
+def test_integer_data_exact(problem):
+    data, edges = problem
+    if edges[0] == edges[-1]:
+        edges = np.concatenate([edges[:1], [edges[-1] + 1]]).astype(
+            edges.dtype
+        )
+    _np_parity(data, edges)
+
+
+@st.composite
+def float_problems(draw):
+    dtype = draw(st.sampled_from([np.float32, np.float64]))
+    base = draw(st.floats(-1e6, 1e6, allow_nan=False, allow_subnormal=False))
+    spread = draw(st.floats(1e-6, 1e3))
+    lo, hi = base - spread, base + spread
+    if dtype is np.float32:
+        # width-32 bounds must be exactly f32-representable
+        lo, hi = float(np.float32(lo)), float(np.float32(hi))
+        if lo >= hi:
+            hi = float(np.nextafter(np.float32(lo), np.float32(np.inf)))
+    vals = draw(
+        st.lists(
+            st.floats(lo, hi, allow_nan=False, allow_subnormal=False,
+                      width=32 if dtype is np.float32 else 64),
+            min_size=1, max_size=64,
+        )
+    )
+    n_edges = draw(st.integers(2, 8))
+    es = draw(
+        st.lists(
+            st.floats(base - spread, base + spread, allow_nan=False, allow_subnormal=False),
+            min_size=n_edges, max_size=n_edges,
+        )
+    )
+    edges = np.sort(np.asarray(es, np.float64))
+    data = np.asarray(vals, dtype)
+    # sprinkle values exactly AT edges and one-ulp around them — the
+    # half-open/closed-last-bin decisions live there
+    extra = np.concatenate(
+        [edges, np.nextafter(edges, np.inf), np.nextafter(edges, -np.inf)]
+    ).astype(dtype)
+    return np.concatenate([data, extra]), edges
+
+
+@given(float_problems())
+@settings(max_examples=60, deadline=None)
+def test_float_data_exact(problem):
+    data, edges = problem
+    if edges[0] == edges[-1]:
+        edges = np.concatenate([edges[:1], [edges[-1] + 1.0]])
+    _np_parity(data, edges)

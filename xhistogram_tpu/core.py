@@ -159,6 +159,19 @@ def _prepare_device(args, edges_np):
                     ce = _bins_mod.CompareEdges(code_edges, 0)
         if ce is None:
             ce = _bins_mod.compare_form(e, _device_dtype(args[i]))
+            if (
+                isinstance(args[i], np.ndarray)
+                and np.issubdtype(ce.edges.dtype, np.floating)
+                and np.any(
+                    (ce.edges != 0)
+                    & (np.abs(ce.edges) < np.finfo(ce.edges.dtype).tiny)
+                )
+            ):
+                # subnormal comparison thresholds flush to zero on the
+                # device (FTZ), moving values across those edges; concrete
+                # inputs take the exact host rank-code path instead
+                args[i], code_edges = _exact_rank_codes(a, e)
+                ce = _bins_mod.CompareEdges(code_edges, 0)
         edges_dev.append(jnp.asarray(ce.edges))
         n_his.append(int(ce.n_hi_clip))
     return args, tuple(edges_dev), tuple(n_his)
