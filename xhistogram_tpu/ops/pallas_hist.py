@@ -117,6 +117,9 @@ def _onehot_dtypes():
 # (hi + lo, ~17 mantissa bits; two bf16 matmuls ≈ 2x unweighted cost);
 # "highest" keeps full-f32 MXU passes (exact, ~5x unweighted cost).
 _WEIGHTED_SPLIT = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split") == "split"
+# Split-mode matmul form: two plain dots vs one concat-stacked dot
+# (measured equal-throughput on v5e; two dots avoid the sublane concat copy)
+_SPLIT_TWO_DOTS = _os.environ.get("XHIST_SPLIT_TWO_DOTS", "0") == "1"
 # Nonfinite-weight faithfulness (see ops/nonfinite.py): matmul counting
 # computes w·onehot products, so a NaN/±inf weight times a *zero* one-hot
 # entry would poison every slot of its row-block (NaN·0 = NaN), where the
@@ -334,12 +337,22 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
     if _WEIGHTED_SPLIT:
         lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
         hi, lo = _split_bf16(wf)
-        lhs = jnp.concatenate([lhs_b * hi, lhs_b * lo], axis=0)
-        res = jax.lax.dot_general(
-            lhs, rhs_bf16, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-        counts = res[:nrows] + res[nrows:]
+        if _SPLIT_TWO_DOTS:
+            # two plain dots (no sublane concat copy of the stacked lhs)
+            counts = jax.lax.dot_general(
+                lhs_b * hi, rhs_bf16, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                lhs_b * lo, rhs_bf16, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            lhs = jnp.concatenate([lhs_b * hi, lhs_b * lo], axis=0)
+            res = jax.lax.dot_general(
+                lhs, rhs_bf16, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            counts = res[:nrows] + res[nrows:]
     else:
         lhs = oh_lhs_bool.astype(jnp.float32) * wf
         counts = jax.lax.dot_general(
@@ -971,6 +984,16 @@ def _factored_kernel(
         o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
+def _packed_tm():
+    """Row-tile height of the packed kernel (sublane-tile multiples).
+
+    Measured on v5e (m=16384, c=64, 10.8k slots): tm=8 24.6 ms, tm=32
+    34.9 ms, tm=64 34.4 ms — taller tiles grow the stacked slot space S and
+    its factorization padding faster than they amortize grid-step overhead,
+    so the default stays 8 (negative result; knob kept for re-probing)."""
+    return max(_SUB, int(_os.environ.get("XHIST_PACKED_TM", _SUB)) // _SUB * _SUB)
+
+
 def _pick_factorization(n_slots):
     """Choose the (n1, n2 = 2^k) slot factorization minimizing padded MXU
     work n1·n2 (== out VMEM), tie-broken by n1+n2 (the VPU one-hot cost)."""
@@ -999,7 +1022,12 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
     )
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
-    rpt = (_SUB // f) if packed else 1
+    # packed tiles may span several sublane tiles (tm > 8): more rows per
+    # grid step amortizes the per-step overhead that dominates narrow-c
+    # shapes; MACs/element are tm-independent (S and the real elements per
+    # tile both scale with rpt)
+    tm = _packed_tm() if packed else _SUB
+    rpt = (tm // f) if packed else 1
     per_row = per_row or packed  # packed shares the per-row grid/output form
 
     n1, log2_n2 = _pick_factorization(rpt * n_slots)
@@ -1021,7 +1049,6 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
     n1_pad = n_chunks * n1c
 
     # A1+A2 are ((n1c+n2), E); weighted mode adds the stacked bf16 sections
-    tm = _SUB
     if weighted:
         s_tot = _weight_sections(faithful)
         bpe = 32 + 4 * n_inputs + (1 + 2 * s_tot) * n1c + 3 * n2
