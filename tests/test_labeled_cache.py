@@ -93,3 +93,17 @@ def test_cache_eviction_cap():
         )
     finally:
         api._PIPELINE_CACHE_CAP = old_cap
+
+
+def test_ftz_unsafe_edges_skip_cache():
+    """Edges with subnormal comparison thresholds must take the exact path:
+    inside the cached jit the FTZ fallback of core._prepare_device cannot
+    fire (r2 code-review finding — the fast path returned [1, 3] where
+    numpy and the eager core path return [3, 1])."""
+    api._PIPELINE_CACHE.clear()
+    data = np.array([-0.5, 0.0, -0.0, 0.5], dtype=np.float32)
+    edges = np.array([-1.0, 1e-42, 1.0])
+    a = NamedArray(data, ("x",), name="v")
+    h = histogram(a, bins=edges)
+    assert len(api._PIPELINE_CACHE) == 0  # routed to the exact path
+    np.testing.assert_array_equal(h.values, np.histogram(data, bins=edges)[0])

@@ -121,6 +121,18 @@ def _device_dtype(a):
     return dt
 
 
+def _ftz_unsafe_edges(ce):
+    """True when any comparison threshold is subnormal: the device flushes
+    subnormals to zero (FTZ), which would move values across those edges —
+    such edge sets must take the exact host rank-code path."""
+    edges = np.asarray(ce.edges)
+    if not np.issubdtype(edges.dtype, np.floating):
+        return False
+    return bool(
+        np.any((edges != 0) & (np.abs(edges) < np.finfo(edges.dtype).tiny))
+    )
+
+
 def _prepare_device(args, edges_np):
     """Make every (data, edges) pair exactly representable on the device.
 
@@ -159,14 +171,7 @@ def _prepare_device(args, edges_np):
                     ce = _bins_mod.CompareEdges(code_edges, 0)
         if ce is None:
             ce = _bins_mod.compare_form(e, _device_dtype(args[i]))
-            if (
-                isinstance(args[i], np.ndarray)
-                and np.issubdtype(ce.edges.dtype, np.floating)
-                and np.any(
-                    (ce.edges != 0)
-                    & (np.abs(ce.edges) < np.finfo(ce.edges.dtype).tiny)
-                )
-            ):
+            if isinstance(args[i], np.ndarray) and _ftz_unsafe_edges(ce):
                 # subnormal comparison thresholds flush to zero on the
                 # device (FTZ), moving values across those edges; concrete
                 # inputs take the exact host rank-code path instead
@@ -449,10 +454,9 @@ def histogram(
                 raise ValueError(
                     f"one output row reduces {reduced} elements (>= 2**31): "
                     f"exact counts need 64-bit accumulation, which cannot "
-                    f"be returned to a traced caller under 32-bit jax. "
-                    f"Call histogram() eagerly (returns numpy int64), "
-                    f"enable jax_enable_x64, or stream chunks through "
-                    f"xhistogram_tpu.StreamingHistogram."
+                    f"be returned to a traced caller. Call histogram() "
+                    f"eagerly (returns numpy int64) or stream chunks "
+                    f"through xhistogram_tpu.StreamingHistogram."
                 )
             wide_limit = _WIDE_LIMIT
 

@@ -248,6 +248,18 @@ def histogram(
             np.asarray(b)
             for b in _bins_mod.normalize_bins(bins, n_inputs)
         ]
+        # inside jit the inputs are tracers, so core._prepare_device's
+        # exact-host fallback for FTZ-unsafe (subnormal-threshold) edges
+        # can't fire — such edge sets must take the uncached exact path
+        from ..core import _device_dtype, _ftz_unsafe_edges
+
+        if any(
+            _ftz_unsafe_edges(_bins_mod.compare_form(e, _device_dtype(s)))
+            for e, s in zip(edges_np, safe[:n_inputs])
+        ):
+            edges_sig = None
+
+    if edges_sig is not None and all(s is not None for s in safe):
         key = (
             edges_sig,
             tuple((s.shape, str(s.dtype)) for s in safe),

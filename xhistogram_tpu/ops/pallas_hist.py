@@ -47,9 +47,11 @@ compute. The wrapper re-merges synthetic rows with one cheap sum.
 
 All accumulation is deterministic: the TPU grid is sequential, and the
 output block for a row/slot tile is revisited across column steps
-(SURVEY.md §5 determinism note). Unweighted counts use bf16 one-hots with
-f32 MXU accumulation (per-tile partials ≤ E < 2²⁴, exact) into int32 output;
-weighted counts keep f32 weights and accumulate f32.
+(SURVEY.md §5 determinism note). Unweighted counts use int8 one-hots with
+int32 MXU accumulation (2x the bf16 rate on v5e, purely integral — r2;
+XHIST_INT8_ONEHOT=0 restores bf16 operands + f32 accumulation, exact for
+per-tile partials ≤ E < 2²⁴); weighted counts keep f32 weights split into
+bf16 parts and accumulate f32.
 """
 
 from __future__ import annotations
@@ -209,8 +211,11 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None):
         return "direct"
     # narrow reduce axes (c < 256) with big grids: pack rpt kept rows' slot
     # spaces into one factored space so tiles stay full (per-row tiles would
-    # be mostly padding below c ~ 256 = 2·_LANE columns per sub-row)
-    rpt = _SUB // (1 if m >= _SUB else _SUB // m)
+    # be mostly padding below c ~ 256 = 2·_LANE columns per sub-row).
+    # rpt must match _run_factored's (same tile height + fold), or the gate
+    # and the dispatcher drift apart under the XHIST_PACKED_TM knob.
+    tm = _packed_tm()
+    rpt = tm // (1 if m >= _SUB else _SUB // m)
     if rpt * n_slots <= slot_cap and edges_ok and m > 1:
         return "factored_packed"
     return None
