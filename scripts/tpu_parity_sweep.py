@@ -1,0 +1,126 @@
+"""Real-chip parity sweep: every pallas kernel family x weighted/unweighted
+on representative shapes, bit/allclose-compared against numpy ON THE REAL
+TPU (the CPU interpreter enforces TPU grid rules but not Mosaic's actual
+lowering — e.g. lax.dynamic_slice only failed on real hardware).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_parity_sweep.py
+"""
+
+import sys
+
+import numpy as np
+
+from xhistogram_tpu.core import histogram
+from xhistogram_tpu.ops import pallas_hist as ph
+
+
+def oracle_rows(arrays, edges, weights=None):
+    m = arrays[0].shape[0]
+    outs = []
+    for r in range(m):
+        h, _ = np.histogramdd(
+            np.stack([np.asarray(a[r], "f8") for a in arrays], -1),
+            bins=edges,
+            weights=np.asarray(weights[r], "f8") if weights is not None
+            else None,
+        )
+        outs.append(h)
+    return np.stack(outs)
+
+
+def check(name, arrays, edges, axis, weights=None):
+    kernel = ph.plan(
+        len(arrays),
+        tuple(len(e) - 1 for e in edges),
+        1 if axis is None else arrays[0].shape[0],
+        c=None if axis is None else arrays[0].shape[1],
+        weighted=weights is not None,
+    )
+    try:
+        h, _ = histogram(*arrays, bins=edges, axis=axis, weights=weights,
+                         method="pallas")
+    except Exception as e:
+        print(f"FAIL {name} [{kernel}]: {type(e).__name__}: {str(e)[:120]}")
+        return False
+    got = np.asarray(h)
+    if axis is None:
+        exp = oracle_rows([a.reshape(1, -1) for a in arrays], edges,
+                          weights.reshape(1, -1) if weights is not None
+                          else None)[0]
+    else:
+        exp = oracle_rows(arrays, edges, weights)
+    if weights is None:
+        ok = np.array_equal(got, exp)
+    else:
+        ok = np.allclose(got, exp, rtol=2e-4, atol=2e-4, equal_nan=True)
+        # NaN/inf placement must also agree exactly
+        ok = ok and np.array_equal(np.isnan(got), np.isnan(exp))
+    print(f"{'OK  ' if ok else 'FAIL'} {name:46s} [{kernel}]")
+    return ok
+
+
+def main():
+    import jax
+
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.RandomState(0)
+    e = lambda n, lo=-4, hi=4: np.linspace(lo, hi, n)
+    d = lambda *s: rng.randn(*s).astype("f4")
+    w = lambda *s: rng.rand(*s).astype("f4")
+
+    ok = True
+    # one_input: cumulative (unweighted) + membership (weighted)
+    ok &= check("one_input 64b reduce-all", [d(3, 1000)], [e(65)], None)
+    ok &= check("one_input 64b kept rows", [d(16, 500)], [e(65)], (1,))
+    ok &= check("one_input weighted", [d(16, 500)], [e(65)], (1,),
+                w(16, 500))
+    # joint2: cumulative + inclusion-exclusion / weighted membership
+    ok &= check("joint2 280x340", [d(2, 5000), d(2, 5000)],
+                [e(281), e(341)], None)
+    ok &= check("joint2 weighted", [d(2, 5000), d(2, 5000)],
+                [e(281), e(341)], None, w(2, 5000))
+    # factored reduce-all (incl. > joint2 grid)
+    ok &= check("factored 900x900", [d(2, 4000), d(2, 4000)],
+                [e(901), e(901)], None)
+    ok &= check("factored weighted 900x900", [d(2, 4000), d(2, 4000)],
+                [e(901), e(901)], None, w(2, 4000))
+    ok &= check("factored 3-input", [d(1, 3000)] * 3,
+                [e(11), e(12), e(13)], None)
+    # per-row factored
+    ok &= check("per-row 150x90", [d(5, 2000), d(5, 2000)],
+                [e(151), e(91)], (1,))
+    ok &= check("per-row weighted", [d(5, 2000), d(5, 2000)],
+                [e(151), e(91)], (1,), w(5, 2000))
+    # packed (narrow c, big slots) — REAL-CHIP first parity check
+    ok &= check("packed 120x90 c=64", [d(16, 64), d(16, 64)],
+                [e(121), e(91)], (1,))
+    ok &= check("packed weighted + NaN w", [d(9, 100)], [e(10001)], (1,),
+                np.where(rng.rand(9, 100) < 0.01, np.nan,
+                         w(9, 100)).astype("f4"))
+    ok &= check("packed fold m=3 c=45", [d(3, 45)], [e(9001)], (1,))
+    # direct (narrow c, small slots)
+    ok &= check("direct 40x40 c=64", [d(16, 64), d(16, 64)],
+                [e(41), e(41)], (1,))
+    # fori digitize (edges past the unroll threshold)
+    ok &= check(f"fori digitize {ph._DIG_UNROLL_MAX + 513} edges",
+                [d(4, 2000)], [e(ph._DIG_UNROLL_MAX + 513)], (1,))
+    ok &= check("fori digitize reduce-all 4097 edges", [d(2, 50000)],
+                [e(4097)], None)
+    # huge slots (n1-chunked HBM grid past 2^23)
+    ok &= check("huge slots 4096x4095", [d(1, 20000), d(1, 20000)],
+                [e(4097), e(4096)], None)
+    # NaN/inf data routing
+    data = d(2, 5000)
+    data[0, :5] = [np.nan, np.inf, -np.inf, np.nan, np.inf]
+    ok &= check("joint2 nan/inf data", [data, d(2, 5000)],
+                [e(281), e(341)], None)
+    # int32 data
+    ints = rng.randint(-50, 50, (4, 600)).astype("i4")
+    ok &= check("one_input int32 data", [ints], [e(65, -50, 50)], (1,))
+
+    print("SWEEP", "PASS" if ok else "FAIL", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
