@@ -122,6 +122,11 @@ _WEIGHTED_SPLIT = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split") == "split
 # Split-mode matmul form: two plain dots vs one concat-stacked dot
 # (measured equal-throughput on v5e; two dots avoid the sublane concat copy)
 _SPLIT_TWO_DOTS = _os.environ.get("XHIST_SPLIT_TWO_DOTS", "0") == "1"
+# joint2 unweighted E-axis sub-chunking: issuing the one-hot build and the
+# dot per sub-chunk lets Mosaic overlap the VPU (next chunk's compare+cast)
+# with the MXU (current chunk's matmul). Measured on the 1e9-element T-S
+# bench: k=1 10.14 GB/s, k=2 10.53, k=4 10.97, k=8 11.12, k=16 11.20.
+_JOINT2_ESPLIT = int(_os.environ.get("XHIST_JOINT2_ESPLIT", "16"))
 # Nonfinite-weight faithfulness (see ops/nonfinite.py): matmul counting
 # computes w·onehot products, so a NaN/±inf weight times a *zero* one-hot
 # entry would poison every slot of its row-block (NaN·0 = NaN), where the
@@ -736,12 +741,31 @@ def _joint2_kernel(
         # are the exact 2-D inclusion-exclusion differences, taken by the
         # wrapper: c[i,j] = cum[i,j] - cum[i+1,j] - cum[i,j+1] + cum[i+1,j+1]
         oh_dt, acc_dt = _onehot_dtypes()
-        A = ((a_row >= alo_ref[...]) & ok_row).astype(oh_dt)
-        B = (b_row >= blo_ref[...]).astype(oh_dt)
-        counts = jax.lax.dot_general(
-            A, B, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dt,
-        )  # (nba_pad, nbb_pad)
+        k = _JOINT2_ESPLIT
+        if k > 1 and e_elems % k == 0:
+            # E-axis sub-chunks: chunk s+1's one-hot build (VPU) is
+            # independent of chunk s's dot (MXU) — gives Mosaic a chance to
+            # pipeline the two units
+            step = e_elems // k
+            counts = None
+            for s in range(k):
+                sl = slice(s * step, (s + 1) * step)
+                As = ((a_row[:, sl] >= alo_ref[...]) & ok_row[:, sl]).astype(
+                    oh_dt
+                )
+                Bs = (b_row[:, sl] >= blo_ref[...]).astype(oh_dt)
+                d = jax.lax.dot_general(
+                    As, Bs, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                )
+                counts = d if counts is None else counts + d
+        else:
+            A = ((a_row >= alo_ref[...]) & ok_row).astype(oh_dt)
+            B = (b_row >= blo_ref[...]).astype(oh_dt)
+            counts = jax.lax.dot_general(
+                A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )  # (nba_pad, nbb_pad)
 
     @pl.when((i == 0) & (j == 0))
     def _init():
