@@ -727,15 +727,32 @@ def _joint2_kernel(
         & (sub * c_syn + cols < c_real)
     )
 
-    flags = A_lhs = rhs_bf = None
+    flag_chunks = []
     if weighted:
-        A_lhs = _bin_rows(a_row, alo_ref[...], ahi_ref[...]) & ok_row
-        rhs_bf = _bin_rows(b_row, blo_ref[...], bhi_ref[...]).astype(
-            jnp.bfloat16
-        )
-        counts, flags = _weighted_dot(
-            A_lhs, w_ref[...].reshape(1, e_elems), rhs_bf, faithful
-        )
+        # E-axis sub-chunking measured SLOWER here (3.22 vs 3.33 GB/s on
+        # the weighted T-S config, XHIST_WEIGHTED_ESPLIT to re-probe): the
+        # bf16 2-section matmul leaves less VPU slack to hide, and
+        # sub-chunks below 1024 lanes don't lower at all (Mosaic
+        # vector.broadcast vpad relayout). Default stays unsplit.
+        k = int(_os.environ.get("XHIST_WEIGHTED_ESPLIT", "1"))
+        k = min(k, max(1, e_elems // 1024))
+        if e_elems % k:
+            k = 1
+        step = e_elems // k
+        w_row = w_ref[...].reshape(1, e_elems)
+        counts = None
+        for s in range(k):
+            sl = slice(s * step, (s + 1) * step)
+            A_s = _bin_rows(a_row[:, sl], alo_ref[...], ahi_ref[...]) & (
+                ok_row[:, sl]
+            )
+            B_s = _bin_rows(b_row[:, sl], blo_ref[...], bhi_ref[...]).astype(
+                jnp.bfloat16
+            )
+            c_s, flags_s = _weighted_dot(A_s, w_row[:, sl], B_s, faithful)
+            counts = c_s if counts is None else counts + c_s
+            if flags_s is not None:
+                flag_chunks.append((A_s, flags_s, B_s))
     else:
         # cumulative compare rows (1 op per edge); the joint per-bin counts
         # are the exact 2-D inclusion-exclusion differences, taken by the
@@ -774,8 +791,8 @@ def _joint2_kernel(
 
     if weighted:
         ch_refs = _accum_weighted(o_refs, counts, _kahan())
-        if flags is not None:
-            _accum_channels_when_bad(ch_refs, A_lhs, flags, rhs_bf)
+        for A_s, flags_s, B_s in flag_chunks:
+            _accum_channels_when_bad(ch_refs, A_s, flags_s, B_s)
     else:
         o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
