@@ -1000,19 +1000,23 @@ def _factored_kernel(
 
     r1 = n * n1c + jax.lax.broadcasted_iota(jnp.int32, (n1c, 1), 0)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
-    A1 = r1 == g1  # (n1c, E) equality one-hot for this n1 chunk
 
     flags = None
     if weighted:
+        A1 = r1 == g1  # (n1c, E) equality one-hot for this n1 chunk
         A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
         counts, flags = _weighted_dot(
             A1, w_ref[...].reshape(1, e_elems), A2, faithful
         )
     else:
+        # NOTE: joint2-style E-axis sub-chunking measured SLOWER here
+        # (1M slots: 0.48 vs 0.56 GB/s; per-row 150x90: 7.6 vs 8.3) — the
+        # digitize already interleaves with the dot, and splitting shrinks
+        # the matmuls below good MXU shapes. Keep one dot per tile.
         oh_dt, acc_dt = _onehot_dtypes()
         A2 = (r2 == g2).astype(oh_dt)  # (n2, E)
         counts = jax.lax.dot_general(
-            A1.astype(oh_dt), A2,
+            (r1 == g1).astype(oh_dt), A2,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_dt,
         )  # (n1c, n2)
