@@ -310,3 +310,19 @@ def test_fori_digitize_kept_rows_direct():
     h, _ = histogram(data, bins=edges, axis=1, method="pallas")
     expected = np.stack([np.histogram(r, bins=edges)[0] for r in data])
     np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_factored_packed_three_inputs():
+    """Packed mode generalizes past two inputs (the slot-space stacking is
+    input-count agnostic)."""
+    rng = np.random.RandomState(25)
+    arrs = [rng.randn(12, 80).astype("f4") for _ in range(3)]
+    edges = [np.linspace(-4, 4, 21), np.linspace(-4, 4, 26),
+             np.linspace(-4, 4, 21)]  # 20*25*20 = 10000 slots > 8192
+    h, _ = histogram(*arrs, bins=edges, axis=1, method="pallas")
+    assert h.shape == (12, 20, 25, 20)
+    for r in range(12):
+        expected, _ = np.histogramdd(
+            np.stack([a[r] for a in arrs], -1), bins=edges
+        )
+        np.testing.assert_array_equal(np.asarray(h)[r], expected)
