@@ -68,3 +68,50 @@ def test_split_mode_documented_tolerance():
     expected = np.histogram(data.ravel(), bins=edges,
                             weights=w.ravel().astype("f8"))[0]
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+def test_i8_mode_weighted_end_to_end(monkeypatch):
+    """i8 mode (two per-tile-scaled int8 limbs, int8-rate matmuls): error is
+    ABSOLUTE, ~3e-5 x the tile's max |weight| — check against the f64
+    oracle at that tolerance, plus nonfinite-weight faithfulness."""
+    monkeypatch.setattr(ph, "_WEIGHTED_MODE", "i8")
+    monkeypatch.setattr(ph, "_WEIGHTED_SPLIT", False)
+    monkeypatch.setattr(ph, "_WEIGHTED_I8", True)
+    rng = np.random.RandomState(2)
+    data = rng.uniform(-3.5, 3.5, size=(8, 2048)).astype("f4")
+    w = (rng.rand(8, 2048) * 10).astype("f4")
+    edges = np.linspace(-4, 4, 10)
+    h, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    expected = np.histogram(data.ravel(), bins=edges,
+                            weights=w.ravel().astype("f8"))[0]
+    np.testing.assert_allclose(
+        np.asarray(h), expected,
+        atol=3e-5 * 10 * 2048 * 8 / 9, rtol=1e-3,
+    )
+    # faithful nonfinite weights still isolate the poisoned bin
+    w2 = w.copy()
+    w2[0, 0] = np.nan
+    data[0, 0] = 0.1
+    h2, _ = histogram(data, bins=edges, weights=w2, method="pallas")
+    h2 = np.asarray(h2)
+    assert np.isnan(h2).sum() == 1
+
+
+def test_i8_mode_kept_rows_and_joint(monkeypatch):
+    monkeypatch.setattr(ph, "_WEIGHTED_MODE", "i8")
+    monkeypatch.setattr(ph, "_WEIGHTED_SPLIT", False)
+    monkeypatch.setattr(ph, "_WEIGHTED_I8", True)
+    rng = np.random.RandomState(3)
+    a = rng.uniform(-3.5, 3.5, size=(4, 600)).astype("f4")
+    b = rng.uniform(-3.5, 3.5, size=(4, 600)).astype("f4")
+    w = rng.rand(4, 600).astype("f4")
+    ea, eb = np.linspace(-4, 4, 7), np.linspace(-4, 4, 9)
+    h, _ = histogram(a, b, bins=[ea, eb], weights=w, axis=1,
+                     method="pallas")
+    for r in range(4):
+        expected, _, _ = np.histogram2d(
+            a[r], b[r], bins=[ea, eb], weights=w[r].astype("f8")
+        )
+        np.testing.assert_allclose(
+            np.asarray(h)[r], expected, atol=3e-5 * 600, rtol=1e-3
+        )

@@ -116,9 +116,20 @@ def _onehot_dtypes():
 
 
 # Weighted-matmul mode: "split" decomposes f32 weights into two bf16 parts
-# (hi + lo, ~17 mantissa bits; two bf16 matmuls ≈ 2x unweighted cost);
-# "highest" keeps full-f32 MXU passes (exact, ~5x unweighted cost).
-_WEIGHTED_SPLIT = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split") == "split"
+# (hi + lo, ~17 mantissa bits of each weight; two bf16 matmuls ≈ 2x
+# unweighted cost); "highest" keeps full-f32 MXU passes (exact, ~5x
+# unweighted cost); "i8" quantizes weights to two per-tile-scaled int8
+# limbs (two int8 matmuls at 2x the bf16 rate ⇒ ~2x faster than split;
+# error model is ABSOLUTE, ~3e-5 x the tile's max |weight| — weights with
+# huge dynamic range lose relative precision, hence opt-in).
+_WEIGHTED_MODE = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split")
+_WEIGHTED_SPLIT = _WEIGHTED_MODE == "split"
+_WEIGHTED_I8 = _WEIGHTED_MODE == "i8"
+
+
+def _weight_rhs_dtype():
+    """dtype the weighted kernels build their one-hot rhs in."""
+    return jnp.int8 if _WEIGHTED_I8 else jnp.bfloat16
 # Split-mode matmul form: two plain dots vs one concat-stacked dot
 # (measured equal-throughput on v5e; two dots avoid the sublane concat copy)
 _SPLIT_TWO_DOTS = _os.environ.get("XHIST_SPLIT_TWO_DOTS", "0") == "1"
@@ -344,7 +355,35 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
         isneg = w_row == jnp.float32(-jnp.inf)
         wf = jnp.where(isnan | ispos | isneg, jnp.float32(0), w_row)
         flags = (isnan, ispos, isneg)
-    if _WEIGHTED_SPLIT:
+    if _WEIGHTED_I8:
+        # two per-tile-scaled int8 limbs: w ≈ s·(q1 + q2/128), |q1| ≤ 127,
+        # |q2| ≤ 64; both matmuls run at the int8 MXU rate with int32
+        # accumulation (exact given integer operands), rescaled in f32
+        amax = jnp.max(jnp.abs(wf))
+        s = jnp.maximum(amax, jnp.float32(1e-30)) * jnp.float32(1.0 / 127.0)
+        q = wf * (jnp.float32(1.0) / s)
+        q1f = jnp.floor(q + jnp.float32(0.5))  # round-half-up, |q| ≤ 127
+        q2f = jnp.floor((q - q1f) * jnp.float32(128.0) + jnp.float32(0.5))
+        # f32 select-then-cast: a direct int8 `where` against the (rows, E)
+        # bool mask hits an unsupported Mosaic relayout ((8,128) mask vs
+        # (32,128) int8 tiling); the f32 product lowers and the cast is the
+        # same known-good bool→int8 path the unweighted kernels use
+        lhs_f = oh_lhs_bool.astype(jnp.float32)
+        lhs1 = (lhs_f * q1f).astype(jnp.int8)
+        lhs2 = (lhs_f * q2f).astype(jnp.int8)
+        r1 = jax.lax.dot_general(
+            lhs1, rhs_bf16, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        r2 = jax.lax.dot_general(
+            lhs2, rhs_bf16, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        counts = (
+            r1.astype(jnp.float32)
+            + r2.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+        ) * s
+    elif _WEIGHTED_SPLIT:
         lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
         hi, lo = _split_bf16(wf)
         if _SPLIT_TWO_DOTS:
@@ -389,8 +428,13 @@ def _accum_channels_when_bad(ch_refs, oh_lhs_bool, flags, rhs_bf16):
         lhs = jnp.concatenate(
             [lhs_b * f.astype(jnp.bfloat16) for f in flags], axis=0
         )
+        rhs = (
+            rhs_bf16
+            if rhs_bf16.dtype == jnp.bfloat16
+            else rhs_bf16.astype(jnp.bfloat16)
+        )
         res = jax.lax.dot_general(
-            lhs, rhs_bf16, dimension_numbers=(((1,), (1,)), ((), ())),
+            lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         for k, r in enumerate(ch_refs):
@@ -408,7 +452,8 @@ def _n_weight_channels(faithful):
 def _weight_sections(faithful):
     """lhs sections stacked into the weighted matmul: hi+lo (split) or one
     f32 pass, plus the 3 faithful indicator channels."""
-    return (2 if _WEIGHTED_SPLIT else 1) + _n_weight_channels(faithful)
+    n = 1 if _WEIGHTED_MODE == "highest" else 2  # split/i8: 2 sections
+    return n + _n_weight_channels(faithful)
 
 
 def _kahan():
@@ -418,7 +463,7 @@ def _kahan():
     Kahan reduces it from O(n_tiles) ulp to O(1) ulp, i.e. near-f64
     totals); split mode is representation-limited (~17-bit weights) so the
     compensation would be noise."""
-    return not _WEIGHTED_SPLIT
+    return _WEIGHTED_MODE == "highest"
 
 
 def _kahan_add(o_ref, c_ref, v):
@@ -544,7 +589,7 @@ def _one_input_kernel(
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
         rhs_bf = _bin_rows(a_row, lo_ref[...], hi_ref[...]).astype(
-            jnp.bfloat16
+            _weight_rhs_dtype()
         )
         counts, flags = _weighted_dot(
             R_bool, w_ref[...].reshape(1, e_elems), rhs_bf, faithful
@@ -747,7 +792,7 @@ def _joint2_kernel(
                 ok_row[:, sl]
             )
             B_s = _bin_rows(b_row[:, sl], blo_ref[...], bhi_ref[...]).astype(
-                jnp.bfloat16
+                _weight_rhs_dtype()
             )
             c_s, flags_s = _weighted_dot(A_s, w_row[:, sl], B_s, faithful)
             counts = c_s if counts is None else counts + c_s
@@ -1004,7 +1049,7 @@ def _factored_kernel(
     flags = None
     if weighted:
         A1 = r1 == g1  # (n1c, E) equality one-hot for this n1 chunk
-        A2 = (r2 == g2).astype(jnp.bfloat16)  # (n2, E)
+        A2 = (r2 == g2).astype(_weight_rhs_dtype())  # (n2, E)
         counts, flags = _weighted_dot(
             A1, w_ref[...].reshape(1, e_elems), A2, faithful
         )
@@ -1263,7 +1308,7 @@ def _direct_kernel(
     R_bool = m_col == local_row
     flags = None
     if weighted:
-        G_bf = G.astype(jnp.bfloat16)
+        G_bf = G.astype(_weight_rhs_dtype())
         counts, flags = _weighted_dot(
             R_bool, w_ref[...].reshape(1, e_elems), G_bf, faithful
         )
