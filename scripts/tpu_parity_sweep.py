@@ -28,7 +28,7 @@ def oracle_rows(arrays, edges, weights=None):
     return np.stack(outs)
 
 
-def check(name, arrays, edges, axis, weights=None):
+def check(name, arrays, edges, axis, weights=None, atol=2e-4):
     kernel = ph.plan(
         len(arrays),
         tuple(len(e) - 1 for e in edges),
@@ -52,7 +52,7 @@ def check(name, arrays, edges, axis, weights=None):
     if weights is None:
         ok = np.array_equal(got, exp)
     else:
-        ok = np.allclose(got, exp, rtol=2e-4, atol=2e-4, equal_nan=True)
+        ok = np.allclose(got, exp, rtol=2e-4, atol=atol, equal_nan=True)
         # NaN/inf placement must also agree exactly
         ok = ok and np.array_equal(np.isnan(got), np.isnan(exp))
     print(f"{'OK  ' if ok else 'FAIL'} {name:46s} [{kernel}]")
@@ -117,6 +117,24 @@ def main():
     # int32 data
     ints = rng.randint(-50, 50, (4, 600)).astype("i4")
     ok &= check("one_input int32 data", [ints], [e(65, -50, 50)], (1,))
+    # i8 weighted mode (Mosaic-sensitive int8 lhs wiring) across kernels
+    jax.clear_caches()
+    ph._WEIGHTED_MODE, ph._WEIGHTED_SPLIT, ph._WEIGHTED_I8 = "i8", False, True
+    try:
+        wna = w(2, 5000).copy()
+        wna[0, 3] = np.nan
+        ok &= check("i8 joint2 weighted + NaN", [d(2, 5000), d(2, 5000)],
+                    [e(281), e(341)], None, wna, atol=2e-3)
+        ok &= check("i8 per-row weighted", [d(5, 2000), d(5, 2000)],
+                    [e(151), e(91)], (1,), w(5, 2000), atol=2e-3)
+        ok &= check("i8 one_input weighted", [d(16, 500)], [e(65)], (1,),
+                    w(16, 500), atol=2e-3)
+        ok &= check("i8 direct weighted", [d(16, 64), d(16, 64)],
+                    [e(41), e(41)], (1,), w(16, 64), atol=2e-3)
+    finally:
+        ph._WEIGHTED_MODE = "split"
+        ph._WEIGHTED_SPLIT, ph._WEIGHTED_I8 = True, False
+        jax.clear_caches()
 
     print("SWEEP", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)

@@ -47,6 +47,10 @@ def test_kahan_formula_beats_naive_accumulation():
 def test_highest_mode_weighted_end_to_end(monkeypatch):
     """highest mode (exact f32 matmuls + Kahan) matches the f64 numpy
     oracle much tighter than split mode's ~17-bit weight representation."""
+    import jax
+
+    jax.clear_caches()  # mode globals aren't part of the jit key
+    monkeypatch.setattr(ph, "_WEIGHTED_MODE", "highest")
     monkeypatch.setattr(ph, "_WEIGHTED_SPLIT", False)
     monkeypatch.setattr(ph, "_MAX_TC", 256)  # force many accumulation steps
     rng = np.random.RandomState(0)
@@ -60,6 +64,9 @@ def test_highest_mode_weighted_end_to_end(monkeypatch):
 
 
 def test_split_mode_documented_tolerance():
+    import jax
+
+    jax.clear_caches()  # don't inherit a monkeypatched-mode trace
     rng = np.random.RandomState(1)
     data = rng.uniform(-3.5, 3.5, size=(8, 2048)).astype("f4")
     w = rng.rand(8, 2048).astype("f4")
@@ -74,6 +81,10 @@ def test_i8_mode_weighted_end_to_end(monkeypatch):
     """i8 mode (two per-tile-scaled int8 limbs, int8-rate matmuls): error is
     ABSOLUTE, ~3e-5 x the tile's max |weight| — check against the f64
     oracle at that tolerance, plus nonfinite-weight faithfulness."""
+    import jax
+
+    jax.clear_caches()  # an identically-shaped split-mode trace would be
+    # served from the jit cache otherwise (mode globals aren't in the key)
     monkeypatch.setattr(ph, "_WEIGHTED_MODE", "i8")
     monkeypatch.setattr(ph, "_WEIGHTED_SPLIT", False)
     monkeypatch.setattr(ph, "_WEIGHTED_I8", True)
@@ -98,6 +109,9 @@ def test_i8_mode_weighted_end_to_end(monkeypatch):
 
 
 def test_i8_mode_kept_rows_and_joint(monkeypatch):
+    import jax
+
+    jax.clear_caches()
     monkeypatch.setattr(ph, "_WEIGHTED_MODE", "i8")
     monkeypatch.setattr(ph, "_WEIGHTED_SPLIT", False)
     monkeypatch.setattr(ph, "_WEIGHTED_I8", True)

@@ -123,6 +123,11 @@ def _onehot_dtypes():
 # error model is ABSOLUTE, ~3e-5 x the tile's max |weight| — weights with
 # huge dynamic range lose relative precision, hence opt-in).
 _WEIGHTED_MODE = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split")
+if _WEIGHTED_MODE not in ("split", "highest", "i8"):
+    raise ValueError(
+        f"XHIST_WEIGHTED_PRECISION={_WEIGHTED_MODE!r}: valid values are "
+        f"'split', 'highest', 'i8'"
+    )
 _WEIGHTED_SPLIT = _WEIGHTED_MODE == "split"
 _WEIGHTED_I8 = _WEIGHTED_MODE == "i8"
 
@@ -456,6 +461,16 @@ def _weight_sections(faithful):
     return n + _n_weight_channels(faithful)
 
 
+def _weight_lhs_bytes(faithful):
+    """Live lhs bytes per (row, element) across the weighted matmul
+    sections for VMEM tile sizing: split two bf16 sections (4 B), i8 one
+    f32 staging product + two int8 limbs (6 B), highest one f32 (4 B);
+    + bf16 channel sections (counted conservatively — they only
+    materialize on poisoned tiles)."""
+    base = 6 if _WEIGHTED_I8 else 4
+    return base + 2 * _n_weight_channels(faithful)
+
+
 def _kahan():
     """Compensated cross-tile accumulation for weighted counts. On by
     default in 'highest' precision mode (whose per-tile matmul sums are
@@ -651,9 +666,8 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     # accounting — data f32 + A as bool+bf16 + stacked bf16 lhs + temps.
     nb_out = rows_pad
     if weighted_mode:
-        s_tot = _weight_sections(faithful)
         n_x = _weighted_extra_outputs(faithful)
-        bpe = 20 + 3 * nb_out + 2 * s_tot * tm
+        bpe = 20 + 3 * nb_out + _weight_lhs_bytes(faithful) * tm
         fixed = (1 + n_x) * tm * nb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
@@ -803,7 +817,9 @@ def _joint2_kernel(
         # are the exact 2-D inclusion-exclusion differences, taken by the
         # wrapper: c[i,j] = cum[i,j] - cum[i+1,j] - cum[i,j+1] + cum[i+1,j+1]
         oh_dt, acc_dt = _onehot_dtypes()
-        k = _JOINT2_ESPLIT
+        # same >= 1024-lane sub-chunk floor as the weighted branch (smaller
+        # chunks hit the unlowerable Mosaic vector.broadcast vpad relayout)
+        k = min(_JOINT2_ESPLIT, max(1, e_elems // 1024))
         if k > 1 and e_elems % k == 0:
             # E-axis sub-chunks: chunk s+1's one-hot build (VPU) is
             # independent of chunk s's dot (MXU) — gives Mosaic a chance to
@@ -869,9 +885,8 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     nba_out = _round_up(nba_pad, _SUB)
     nbb_out = nbb_pad  # sublane-rounded only; Mosaic masks non-128 lanes
     if weighted_mode:
-        s_tot = _weight_sections(faithful)
         n_x = _weighted_extra_outputs(faithful)
-        bpe = 28 + (1 + 2 * s_tot) * nba_out + 3 * nbb_out
+        bpe = 28 + (1 + _weight_lhs_bytes(faithful)) * nba_out + 3 * nbb_out
         fixed = (1 + n_x) * nba_out * nbb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
@@ -1145,8 +1160,8 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
 
     # A1+A2 are ((n1c+n2), E); weighted mode adds the stacked bf16 sections
     if weighted:
-        s_tot = _weight_sections(faithful)
-        bpe = 32 + 4 * n_inputs + (1 + 2 * s_tot) * n1c + 3 * n2
+        bpe = 32 + 4 * n_inputs + (1 + _weight_lhs_bytes(faithful)) * n1c
+        bpe += 3 * n2
         fixed = n_outs * n1c * n2 * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
