@@ -454,13 +454,6 @@ def _n_weight_channels(faithful):
     return 3 if faithful else 0
 
 
-def _weight_sections(faithful):
-    """lhs sections stacked into the weighted matmul: hi+lo (split) or one
-    f32 pass, plus the 3 faithful indicator channels."""
-    n = 1 if _WEIGHTED_MODE == "highest" else 2  # split/i8: 2 sections
-    return n + _n_weight_channels(faithful)
-
-
 def _weight_lhs_bytes(faithful):
     """Live lhs bytes per (row, element) across the weighted matmul
     sections for VMEM tile sizing: split two bf16 sections (4 B), i8 one
