@@ -155,3 +155,18 @@ def test_int_thresholds_matches_cast_semantics():
             assert float(t) >= ej and float(t - 1) < ej
         u = int(ts[-1])
         assert float(u) > e[-1] and float(u - 1) <= e[-1]
+
+
+def test_mixed_signedness_promotes_through_float64():
+    # numpy promotes uint64-data/int64-edge comparisons to float64 (lossy
+    # above 2**53); hypothesis-found counterexample, r2: both the value and
+    # the edge round to the same f64, so numpy counts the value IN the
+    # closed last bin while exact integer comparison would exclude it
+    data = np.array([787672764765027777, 0, 18446744073709551615],
+                    dtype=np.uint64)
+    edges = np.array([0, 787672764765027776], dtype=np.int64)
+    _assert_np_parity(data, edges)
+    # and the mirrored case: int64 data vs uint64 edges
+    data2 = np.array([-5, 0, 787672764765027777], dtype=np.int64)
+    edges2 = np.array([0, 787672764765027776], dtype=np.uint64)
+    _assert_np_parity(data2, edges2)

@@ -165,7 +165,7 @@ def _min_int_cast_ge(e):
     return v
 
 
-def int_thresholds(edges):
+def int_thresholds(edges, data_dtype=None):
     """Exact integer compare-form thresholds for integer data.
 
     Returns a list ``[t_0 .. t_{E-1}]`` of python ints (or ``±math.inf``)
@@ -177,11 +177,25 @@ def int_thresholds(edges):
     which equal ``ceil(e)`` / ``floor(e_last)+1`` for values below 2**53 and
     follow numpy's lossy rounding above it. Fractional edges are never
     truncated against integer data (ADVICE r1).
+
+    Integer edges follow numpy's promotion rule against ``data_dtype``:
+    same-signedness pairs compare exactly in integers, but mixed
+    int64/uint64 promotes to float64 in numpy, so BOTH sides go through the
+    lossy cast — the thresholds must be the cast cutovers of the
+    f64-rounded edges (found by hypothesis fuzzing, r2).
     """
     e = np.asarray(edges)
     n = e.shape[0]
     if np.issubdtype(e.dtype, np.integer):
-        return [int(v) for v in e[:-1]] + [int(e[-1]) + 1]
+        lossy = (
+            data_dtype is not None
+            and np.issubdtype(
+                np.result_type(e.dtype, np.dtype(data_dtype)), np.floating
+            )
+        )
+        if not lossy:
+            return [int(v) for v in e[:-1]] + [int(e[-1]) + 1]
+        e = e.astype(np.float64)  # numpy compares through this lossy cast
     ts = []
     for j in range(n):
         v = float(e[j])
@@ -245,7 +259,7 @@ def compare_form(edges, dtype) -> CompareEdges:
     dtype = np.dtype(dtype)
     if np.issubdtype(dtype, np.integer):
         info = np.iinfo(dtype)
-        ts = int_thresholds(e)
+        ts = int_thresholds(e, data_dtype=dtype)
         clamped = [min(max(t, info.min), info.max) for t in ts]
         n_hi = sum(1 for t in ts if t > info.max)
         return CompareEdges(np.array(clamped, dtype=dtype), n_hi)

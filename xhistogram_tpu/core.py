@@ -88,7 +88,7 @@ def _exact_rank_codes(a_np, edges_np):
     flat = a_np.ravel()
     if np.issubdtype(a_np.dtype, np.integer):
         info = np.iinfo(a_np.dtype)
-        ts = _bins_mod.int_thresholds(e)
+        ts = _bins_mod.int_thresholds(e, data_dtype=a_np.dtype)
         clamped = np.array(
             [min(max(t, info.min), info.max) for t in ts], dtype=a_np.dtype
         )
