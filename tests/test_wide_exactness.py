@@ -170,3 +170,12 @@ def test_mixed_signedness_promotes_through_float64():
     data2 = np.array([-5, 0, 787672764765027777], dtype=np.int64)
     edges2 = np.array([0, 787672764765027776], dtype=np.uint64)
     _assert_np_parity(data2, edges2)
+
+
+def test_float_data_huge_int_edges_promote_through_float64():
+    # f32 data vs int64 edges beyond 2**53: numpy compares against the
+    # f64-rounded edge, not the exact integer (2**63 - 512 rounds UP to
+    # 2**63, pulling f32(2**63) into the closed last bin)
+    data = np.array([0.0, 9.2233720368547758e18], dtype=np.float32)  # 2**63
+    edges = np.array([0, 2**63 - 512], dtype=np.int64)
+    _assert_np_parity(data, edges)

@@ -264,7 +264,12 @@ def compare_form(edges, dtype) -> CompareEdges:
         n_hi = sum(1 for t in ts if t > info.max)
         return CompareEdges(np.array(clamped, dtype=dtype), n_hi)
 
-    # float data dtype
+    # float data dtype: numpy promotes the comparison to float64, so
+    # integer edge arrays FIRST go through the (lossy above 2**53) f64 cast
+    # — exactly what numpy compares against (same promotion insight as the
+    # mixed-signedness integer case in int_thresholds)
+    if np.issubdtype(e.dtype, np.integer):
+        e = e.astype(np.float64)
     cast = e.astype(dtype)
     wide = cast.astype(e.dtype) if e.dtype.itemsize > dtype.itemsize else cast
     # ceil-cast: bump edges that rounded down by one ulp
