@@ -40,7 +40,8 @@ def int_problems(draw):
     # always include the dtype boundaries (the r1 corner class)
     vals = vals + [info.min, info.max]
     n_edges = draw(st.integers(2, 8))
-    if draw(st.booleans()):
+    kind = draw(st.sampled_from(["f64", "i64", "u64"]))
+    if kind == "f64":
         # float edges near the data (incl. fractional + rounding cutovers)
         es = draw(
             st.lists(
@@ -51,14 +52,21 @@ def int_problems(draw):
         )
         edges = np.sort(np.asarray(es, np.float64))
     else:
+        # integer edges, possibly of MIXED signedness vs the data (numpy
+        # promotes int64-vs-uint64 comparisons through a lossy f64 cast)
+        # and possibly beyond the data dtype's range
+        einfo = np.iinfo(np.int64 if kind == "i64" else np.uint64)
+        lo = max(einfo.min, base - 4 * spread)
+        hi = min(einfo.max, base + 4 * spread)
+        if lo >= hi:
+            lo, hi = einfo.min, einfo.max
         es = draw(
-            st.lists(
-                st.integers(max(info.min, base - spread),
-                            min(info.max, base + spread)),
-                min_size=n_edges, max_size=n_edges,
-            )
+            st.lists(st.integers(lo, hi), min_size=n_edges,
+                     max_size=n_edges)
         )
-        edges = np.sort(np.asarray(es, np.int64))
+        edges = np.sort(
+            np.asarray(es, np.int64 if kind == "i64" else np.uint64)
+        )
     return np.asarray(vals, dtype), edges
 
 
