@@ -604,13 +604,17 @@ def _one_input_kernel(
         )
     else:
         # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
-        # per-bin counts are exact integer differences, taken by the wrapper
-        oh_dt, acc_dt = _onehot_dtypes()
-        A = (a_row >= lo_ref[...]).astype(oh_dt)
+        # per-bin counts are exact integer differences, taken by the
+        # wrapper. one_input is ALWAYS VPU-bound (its MXU term is just 8
+        # rows x bins), so bf16 one-hots stay faster than int8 here — the
+        # int8 cast costs more VPU and the doubled MXU rate buys nothing
+        # (measured r2: 25.2 vs 23.7 GB/s at 64 bins). Exact: per-tile f32
+        # partials ≤ E < 2^24.
+        A = (a_row >= lo_ref[...]).astype(jnp.bfloat16)
         counts = jax.lax.dot_general(
-            R_bool.astype(oh_dt), A,
+            R_bool.astype(jnp.bfloat16), A,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dt,
+            preferred_element_type=jnp.float32,
         )  # (tm, rows_pad) cumulative counts
 
     if reduce_all:
