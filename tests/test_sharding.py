@@ -208,3 +208,80 @@ def test_labeled_api_on_sharded_data_gspmd():
     assert out.dims == ("depth", "T_bin")
     expected = np.stack([np.histogram(r, bins=bins)[0] for r in T])
     np.testing.assert_array_equal(np.asarray(out.data), expected)
+
+
+# --------------------------------------------------------------------------
+# mismatched input shardings under the implicit GSPMD path (r3, VERDICT #6):
+# the reference rechunks unaligned dask chunks onto a common grid
+# (reference test_chunking.py:104-146); the TPU analog is XLA resharding
+# the operands onto one sharding on-device. SURVEY §5 claims the
+# equivalence — these tests exercise it.
+
+
+def test_gspmd_mismatched_data_weights_shardings():
+    rng = np.random.RandomState(20)
+    data = rng.randn(8, 16).astype("f4")
+    w = rng.rand(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    d_sh = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    w_sh = jax.device_put(w, NamedSharding(mesh, P()))  # fully replicated
+    h, _ = histogram(d_sh, bins=bins, weights=w_sh)
+    expected = np.histogram(data.astype("f8"), bins=bins,
+                            weights=w.astype("f8"))[0]
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+def test_gspmd_mismatched_weights_partial_layout():
+    rng = np.random.RandomState(21)
+    data = rng.randn(8, 16).astype("f4")
+    w = rng.rand(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    d_sh = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    w_sh = jax.device_put(w, NamedSharding(mesh, P(None, "y")))
+    h, _ = histogram(d_sh, bins=bins, weights=w_sh, axis=1)
+    expected = np.stack([
+        np.histogram(r.astype("f8"), bins=bins, weights=ww.astype("f8"))[0]
+        for r, ww in zip(data, w)
+    ])
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+def test_gspmd_mismatched_joint_inputs():
+    rng = np.random.RandomState(22)
+    a = rng.randn(8, 16).astype("f4")
+    b = rng.randn(8, 16).astype("f4")
+    ea = np.linspace(-3, 3, 7)
+    eb = np.linspace(-3, 3, 5)
+    mesh = mesh2d()
+    a_sh = jax.device_put(a, NamedSharding(mesh, P("x", "y")))
+    b_sh = jax.device_put(b, NamedSharding(mesh, P("y", None)))
+    h, _ = histogram(a_sh, b_sh, bins=[ea, eb])
+    expected, _, _ = np.histogram2d(a.ravel(), b.ravel(), bins=[ea, eb])
+    np.testing.assert_array_equal(np.asarray(h), expected.astype("i4"))
+
+
+def test_gspmd_mismatch_resharded_on_device():
+    """The compiled program must stay distributed (collectives in the HLO:
+    XLA reshards the operands on-device) rather than degenerating to a
+    single-device gather."""
+    rng = np.random.RandomState(23)
+    data = rng.randn(8, 16).astype("f4")
+    w = rng.rand(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    d_sh = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    w_sh = jax.device_put(w, NamedSharding(mesh, P(None, "y")))
+
+    f = jax.jit(lambda a, ww: histogram(a, bins=bins, weights=ww)[0])
+    text = f.lower(d_sh, w_sh).compile().as_text()
+    assert any(
+        coll in text
+        for coll in ("all-reduce", "all-gather", "collective-permute",
+                     "reduce-scatter")
+    ), "expected on-device collectives (resharding), found none in the HLO"
+    h = f(d_sh, w_sh)
+    expected = np.histogram(data.astype("f8"), bins=bins,
+                            weights=w.astype("f8"))[0]
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)

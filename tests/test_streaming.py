@@ -91,7 +91,7 @@ def test_streaming_int64_accumulation():
     acc = StreamingHistogram(bins=np.array([0.0, 1.0]))
     acc.update(np.full(100, 0.5, "f4"))
     assert acc.counts.dtype == np.int64
-    acc._counts[0] = 2**31  # simulate a huge accumulated total
+    acc._blocks[()][0] = 2**31  # simulate a huge accumulated total
     acc.update(np.full(3, 0.5, "f4"))
     h, _ = acc.result()
     assert int(h[0]) == 2**31 + 3  # would wrap in int32
@@ -138,3 +138,68 @@ def test_streaming_failed_first_update_does_not_pin_mode():
     # a valid unweighted chunk must still be accepted
     acc.update(np.array([0.5], "f4"))
     assert int(acc.counts[0]) == 1
+
+
+# --------------------------------------------------------------------------
+# chunked KEPT dims (r3): the reference's blockwise path tiles bystander
+# axes natively (kept axes become singleton blocks that concatenate,
+# reference core.py:418,429-437) — kept_offset closes that generality gap.
+
+
+def test_streaming_kept_offset_blocks_1d():
+    rng = np.random.RandomState(7)
+    data = rng.randn(6, 8).astype("f4")
+    edges = np.linspace(-2.5, 2.5, 6)
+    acc = StreamingHistogram(bins=edges, axis=1)
+    # tile BOTH the kept axis (rows, blocks of 3) and the reduced axis
+    for r0 in (0, 3):
+        for c0 in (0, 4):
+            acc.update(data[r0 : r0 + 3, c0 : c0 + 4], kept_offset=(r0,))
+    h, _ = acc.result()
+    expected = np.stack([np.histogram(r, bins=edges)[0] for r in data])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_streaming_kept_offset_uneven_blocks():
+    rng = np.random.RandomState(8)
+    data = rng.randn(7, 30).astype("f4")
+    acc = StreamingHistogram(bins=bins9, axis=1)
+    # uneven kept blocks: rows [0:2), [2:7)
+    for r0, r1 in ((0, 2), (2, 7)):
+        for ch in chunks(data[r0:r1], 3, 1):
+            acc.update(ch, kept_offset=(r0,))
+    h, _ = acc.result()
+    h_ref, _ = histogram(data, bins=bins9, axis=1)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_ref))
+
+
+def test_streaming_kept_offset_2d_weighted_density():
+    rng = np.random.RandomState(9)
+    data = rng.randn(4, 6, 50).astype("f4")
+    w = rng.rand(4, 6, 50).astype("f4")
+    acc = StreamingHistogram(bins=bins9, axis=2)
+    for r0 in (0, 2):
+        for s0 in (0, 3):
+            for k in range(2):
+                sl = (slice(r0, r0 + 2), slice(s0, s0 + 3),
+                      slice(k * 25, (k + 1) * 25))
+                acc.update(data[sl], weights=w[sl], kept_offset=(r0, s0))
+    h, _ = acc.result(density=True)
+    h_ref, _ = histogram(data, bins=bins9, axis=2, weights=w, density=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), rtol=1e-6)
+
+
+def test_streaming_kept_offset_gap_rejected():
+    rng = np.random.RandomState(10)
+    acc = StreamingHistogram(bins=bins9, axis=1)
+    acc.update(rng.randn(2, 10).astype("f4"), kept_offset=(0,))
+    acc.update(rng.randn(2, 10).astype("f4"), kept_offset=(3,))  # gap at 2
+    with pytest.raises(ValueError, match="tile"):
+        acc.result()
+
+
+def test_streaming_kept_offset_bad_length_rejected():
+    rng = np.random.RandomState(11)
+    acc = StreamingHistogram(bins=bins9, axis=1)
+    with pytest.raises(ValueError, match="kept_offset"):
+        acc.update(rng.randn(2, 10).astype("f4"), kept_offset=(0, 0))

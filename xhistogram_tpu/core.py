@@ -51,6 +51,12 @@ _builtin_range = range
 # this to exercise the path at small sizes).
 _WIDE_LIMIT = 2**31
 
+# Bit width of the wide-count accumulator pair's low word. 32 in production
+# (uint32 lo + uint32 hi = exact int64); tests lower it so the hi word and
+# the carry become observable at small sizes (a carry bug would otherwise
+# pass any suite that accumulates < 2**32 counts per slot).
+_PAIR_BITS = 32
+
 
 def _coerce_host(x):
     """Host-side input coercion: datetime64 → int64 view (JAX has no datetime
@@ -133,6 +139,54 @@ def _ftz_unsafe_edges(ce):
     )
 
 
+def device_view(x):
+    """Lossless device-dtype view of one host value, or ``None`` when exact
+    semantics require the host rank-code remap (``_exact_rank_codes``).
+
+    THE single host-prep dtype policy: ``_prepare_device`` (core/sharded
+    paths) and the labeled compiled-pipeline cache (``labeled.api``) both
+    consume this one function, so their decisions cannot desynchronize
+    (the r2 FTZ-bypass regression came from a hand-synced copy).
+
+    Under 64-bit jax every numpy dtype is held exactly — no narrowing.
+    Under default 32-bit jax: int64/uint64 within int32 range and float64
+    that round-trips float32 get lossless narrow views; anything wider
+    returns None. datetime returns None (callers either coerce via
+    ``_coerce_host`` first or take the exact/uncached path).
+    """
+    if not isinstance(x, np.ndarray):
+        return x  # jax arrays / tracers already carry device dtypes
+    if x.dtype.kind in "Mm":
+        return None
+    if jax.config.read("jax_enable_x64"):
+        return x  # 64-bit mode: the device dtype IS the numpy dtype
+    if x.dtype in (np.int64, np.uint64):
+        if x.size == 0:
+            return x.astype(np.int32)
+        lo, hi = int(x.min()), int(x.max())
+        i32 = np.iinfo(np.int32)
+        if i32.min <= lo and hi <= i32.max:
+            return x.astype(np.int32)
+        return None
+    if x.dtype == np.float64:
+        x32 = x.astype(np.float32)
+        if np.array_equal(x32.astype(np.float64), x, equal_nan=True):
+            return x32
+        return None
+    return x
+
+
+def ftz_exact_fallback(view, edges_np):
+    """Second half of the shared host-prep policy: True when a concrete
+    input whose *values* are device-safe must still take the exact host
+    path because the edge set's comparison thresholds are subnormal (the
+    device flushes subnormals to zero, moving values across those edges).
+    """
+    return isinstance(view, np.ndarray) and _ftz_unsafe_edges(
+        _bins_mod.compare_form(edges_np, _device_dtype(view))
+    )
+
+
 def _prepare_device(args, edges_np):
     """Make every (data, edges) pair exactly representable on the device.
 
@@ -141,6 +195,8 @@ def _prepare_device(args, edges_np):
     values across bin edges. Such inputs are remapped host-side to exact
     int32 rank codes (``_exact_rank_codes``); everything else keeps its
     values and gets exact comparison-form edges (``bins.compare_form``).
+    All per-input decisions come from ``device_view``/``ftz_exact_fallback``
+    (the single policy the labeled cache also consumes).
 
     Returns ``(args, device_edges, n_hi_clips)`` — edges already in
     comparison form plus one static hi-clip count per input for the digitize
@@ -149,34 +205,14 @@ def _prepare_device(args, edges_np):
     args = list(args)
     edges_dev = []
     n_his = []
-    x64 = jax.config.read("jax_enable_x64")
-    i32 = np.iinfo(np.int32)
     for i, (a, e) in enumerate(zip(args, edges_np)):
-        ce = None
-        if isinstance(a, np.ndarray) and not x64:
-            if a.dtype in (np.int64, np.uint64):
-                lo = int(a.min()) if a.size else 0
-                hi = int(a.max()) if a.size else 0
-                if i32.min <= lo and hi <= i32.max:
-                    args[i] = a.astype(np.int32)
-                else:
-                    args[i], code_edges = _exact_rank_codes(a, e)
-                    ce = _bins_mod.CompareEdges(code_edges, 0)
-            elif a.dtype == np.float64:
-                a32 = a.astype(np.float32)
-                if np.array_equal(a32.astype(np.float64), a, equal_nan=True):
-                    args[i] = a32
-                else:
-                    args[i], code_edges = _exact_rank_codes(a, e)
-                    ce = _bins_mod.CompareEdges(code_edges, 0)
-        if ce is None:
-            ce = _bins_mod.compare_form(e, _device_dtype(args[i]))
-            if isinstance(args[i], np.ndarray) and _ftz_unsafe_edges(ce):
-                # subnormal comparison thresholds flush to zero on the
-                # device (FTZ), moving values across those edges; concrete
-                # inputs take the exact host rank-code path instead
-                args[i], code_edges = _exact_rank_codes(a, e)
-                ce = _bins_mod.CompareEdges(code_edges, 0)
+        v = device_view(a)
+        if v is None or ftz_exact_fallback(v, e):
+            args[i], code_edges = _exact_rank_codes(a, e)
+            ce = _bins_mod.CompareEdges(code_edges, 0)
+        else:
+            args[i] = v
+            ce = _bins_mod.compare_form(e, _device_dtype(v))
         edges_dev.append(jnp.asarray(ce.edges))
         n_his.append(int(ce.n_hi_clip))
     return args, tuple(edges_dev), tuple(n_his)
@@ -193,6 +229,7 @@ def _prepare_device(args, edges_np):
         "has_weights",
         "n_hi_clip",
         "wide_limit",
+        "pair_bits",
     ),
 )
 def _histogram_impl(
@@ -209,6 +246,7 @@ def _histogram_impl(
     has_weights,
     n_hi_clip=None,
     wide_limit=None,
+    pair_bits=32,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -257,7 +295,12 @@ def _histogram_impl(
                 not any(n_hi_clip)
                 and not int_weights
                 and _pallas_supports(
-                    len(parts_2d), nbins, m_eff, weighted=has_weights, c=c_eff
+                    len(parts_2d),
+                    nbins,
+                    m_eff,
+                    weighted=has_weights,
+                    c=c_eff,
+                    weights_dtype=weights_2d.dtype if has_weights else None,
                 )
             ):
                 mth = "pallas"
@@ -320,9 +363,16 @@ def _histogram_impl(
         for s in range(0, c_cols, step):
             parts = [a[:, s : s + step] for a in arrays_2d]
             p = _count_once(parts, None).astype(jnp.uint32)
-            new_lo = lo + p
-            hi = hi + (new_lo < lo).astype(jnp.uint32)  # wrap ⟹ carry
-            lo = new_lo
+            if pair_bits < 32:
+                # test-width pairs: the carry is an explicit shift (the sum
+                # fits uint32), making hi observable at small count scales
+                s32 = lo + p
+                hi = hi + (s32 >> pair_bits)
+                lo = s32 & jnp.uint32((1 << pair_bits) - 1)
+            else:
+                new_lo = lo + p
+                hi = hi + (new_lo < lo).astype(jnp.uint32)  # wrap ⟹ carry
+                lo = new_lo
         out_shape = kshape + tuple(nbins)
         return (
             hi[:, :-1].reshape(out_shape),
@@ -480,12 +530,13 @@ def histogram(
         has_weights=weights is not None,
         n_hi_clip=n_hi_clip,
         wide_limit=wide_limit,
+        pair_bits=_PAIR_BITS,
     )
     if wide_limit is not None:
         hi, lo = h
-        h = (np.asarray(hi).astype(np.int64) << 32) + np.asarray(lo).astype(
-            np.int64
-        )
+        h = (np.asarray(hi).astype(np.int64) << _PAIR_BITS) + np.asarray(
+            lo
+        ).astype(np.int64)
         if density:
             # host-side density over the exact int64 counts (float64 math —
             # the reference normalizes in float64 too, core.py:444-462)

@@ -85,6 +85,14 @@ _VMEM_LIMIT = int(_os.environ.get("XHIST_VMEM_LIMIT", 64 << 20))
 # wider chunks mean fewer unrolled compare+sum steps (compile time scales
 # with the step count for many-edge bins) at a slightly larger rank-3 temp.
 _DIG_CHUNK = int(_os.environ.get("XHIST_DIG_CHUNK", 32))
+if _DIG_CHUNK <= 0 or _DIG_CHUNK % _SUB:
+    # the fori digitize's pl.ds loads need sublane-aligned starts, and
+    # _edges_col pads edge columns to this value — a non-multiple-of-8
+    # override would fail deep inside Mosaic lowering instead of here
+    raise ValueError(
+        f"XHIST_DIG_CHUNK={_DIG_CHUNK}: must be a positive multiple of "
+        f"{_SUB} (sublane-tile alignment of the digitize pl.ds chunks)"
+    )
 # Edge count beyond which the digitize loop switches from a python unroll
 # (best Mosaic pipelining) to a fori_loop over aligned dynamic chunks
 # (compile time stays O(1) in the edge count; runtime stays linear).
@@ -233,20 +241,36 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None):
     # narrow reduce axes (c < 256) with big grids: pack rpt kept rows' slot
     # spaces into one factored space so tiles stay full (per-row tiles would
     # be mostly padding below c ~ 256 = 2·_LANE columns per sub-row).
-    # rpt must match _run_factored's (same tile height + fold), or the gate
-    # and the dispatcher drift apart under the XHIST_PACKED_TM knob.
+    # rpt must match _run_factored's (same tile height + fold helper), or
+    # the gate and the dispatcher drift apart under the XHIST_PACKED_TM knob.
     tm = _packed_tm()
-    rpt = tm // (1 if m >= _SUB else _SUB // m)
+    rpt = tm // _fold_factor(m, c if c is not None else 1)
     if rpt * n_slots <= slot_cap and edges_ok and m > 1:
         return "factored_packed"
     return None
 
 
-def supports(n_inputs, nbins, m, weighted=False, c=None) -> bool:
+def supports(
+    n_inputs, nbins, m, weighted=False, c=None, weights_dtype=None
+) -> bool:
     """Whether a Pallas kernel handles this problem shape *efficiently*
     (the dispatcher itself accepts anything; 'auto' uses this to decide
-    pallas vs the XLA strategies). Thin view over ``plan``."""
-    return plan(n_inputs, nbins, m, c=c, weighted=weighted) is not None
+    pallas vs the XLA strategies). Thin view over ``plan``.
+
+    ``weights_dtype`` (when the caller knows it) sizes the weighted gate
+    with the ACTUAL per-slot output count — integer-free/finite-assumed
+    configs carry fewer channel accumulators than the conservative
+    worst case, so shapes that fit them are not pushed to XLA."""
+    n_outs = None
+    if weighted and weights_dtype is not None:
+        faithful = not _ASSUME_FINITE and jnp.issubdtype(
+            weights_dtype, jnp.floating
+        )
+        n_outs = 1 + _weighted_extra_outputs(faithful)
+    return (
+        plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs)
+        is not None
+    )
 
 
 def _max_fill(dtype):
@@ -287,6 +311,18 @@ def _pad2d(x, rows, cols):
     return jnp.pad(x, ((0, rows), (0, cols)))
 
 
+def _fold_factor(m, c, force_full=False):
+    """Synthetic-sub-row fold factor: how many sub-rows each real row splits
+    into. ONE definition shared by ``_fold_rows`` (the dispatcher's actual
+    fold) and ``plan()``'s packed-kernel gate (rpt = tm // f), so the gate's
+    slot-cap arithmetic cannot drift from the fold the kernel runs with."""
+    if force_full and m > 0 and c > 0:
+        return _SUB
+    if m >= _SUB or m == 0 or c == 0:
+        return 1
+    return _SUB // m
+
+
 def _fold_rows(arrays, weights, m, c, force_full=False):
     """Split each real row into f synthetic sub-rows so the sublane dim is
     filled with real work (no padded-row compute for small M).
@@ -298,12 +334,9 @@ def _fold_rows(arrays, weights, m, c, force_full=False):
     Returns (arrays', weights', m_syn, c_syn, f). Caller merges counts with
     ``counts.reshape(m, f, -1).sum(1)``.
     """
-    if force_full and m > 0 and c > 0:
-        f = _SUB
-    elif m >= _SUB or m == 0 or c == 0:
+    f = _fold_factor(m, c, force_full)
+    if f == 1:
         return arrays, weights, m, c, 1
-    else:
-        f = _SUB // m
     c_syn = -(-c // f)
     pad = f * c_syn - c
 

@@ -111,6 +111,27 @@ def histogram_sharded(
     out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
     n_inputs = len(arrays)
 
+    if weights is None:
+        # int64 wide-count contract (core._WIDE_LIMIT): the sharded path
+        # accumulates int32 partials + psum, which would silently overflow
+        # when one GLOBAL output row reduces >= 2**31 elements. core's
+        # chunked uint32-pair path cannot run under shard_map (it returns
+        # host int64), so refuse loudly instead of wrapping.
+        from ..core import _WIDE_LIMIT
+
+        reduced = int(
+            np.prod([shape[a] for a in axis_t])
+            if axis_t is not None
+            else np.prod(shape)
+        )
+        if reduced >= _WIDE_LIMIT:
+            raise ValueError(
+                f"one output row reduces {reduced} elements (>= 2**31): "
+                f"int32 partials + psum would overflow. Use eager "
+                f"core.histogram (exact int64 via chunked accumulation) or "
+                f"stream shards through xhistogram_tpu.StreamingHistogram."
+            )
+
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
 
     h = _sharded_impl(

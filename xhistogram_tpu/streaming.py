@@ -16,11 +16,13 @@ core.py:439-462).
         acc.update(T_chunk, S_chunk, weights=w_chunk)
     h, edges = acc.result(density=True)
 
-Chunks concatenate along the reduced axes; kept (bystander) axes must have
-identical shape in every chunk (they index the same output rows — the dask
-analog is chunking only the reduced dims; chunked *kept* dims in the
-reference yield independent output blocks, which here is just multiple
-accumulators or one call per kept-block).
+Chunks may tile the *kept* (bystander) axes too — the reference's blockwise
+path handles chunked kept dims natively (kept axes become singleton blocks
+that concatenate, reference core.py:418,429-437). Pass ``kept_offset`` to
+``update()`` with the chunk's starting index along each kept axis of the
+output; chunks sharing an offset accumulate (reduced-axis streaming), and
+``result()`` stitches the kept-axis blocks back together, validating that
+they tile the output exactly (no gaps, no overlaps-by-misalignment).
 
 Like the traced/dask bins guard (reference core.py:377-381), int/str bin
 specs are rejected: resolving them needs global data the stream cannot see.
@@ -81,12 +83,19 @@ class StreamingHistogram:
         self._axis = axis
         self._method = method
         self._block_size = block_size
-        self._counts = None
+        self._blocks = None  # {kept_offset tuple: host accumulator array}
         self._edges = None
         self._weighted = None  # pinned by the first update()
 
-    def update(self, *args, weights=None):
-        """Add one chunk (N input arrays [+ weights], reduced-axis slice)."""
+    def update(self, *args, weights=None, kept_offset=None):
+        """Add one chunk (N input arrays [+ weights]).
+
+        ``kept_offset`` — starting index of this chunk along each *kept*
+        axis of the output (one int per kept axis, in kept-axes order);
+        omit it (or pass zeros) when chunks tile only the reduced axes.
+        Chunks with the same offset accumulate; ``result()`` stitches the
+        distinct kept-axis blocks (the reference's chunked-bystander-dim
+        blockwise semantics, reference core.py:418,429-437)."""
         if len(args) != self._n_inputs:
             raise ValueError(
                 f"expected {self._n_inputs} input arrays (one per bins "
@@ -119,25 +128,81 @@ class StreamingHistogram:
         h = h.astype(np.int64) if h.dtype.kind in "iu" else h.astype(
             np.float64
         )
-        if self._counts is None:
-            self._counts = h
+        n_kept = h.ndim - self._n_inputs
+        if kept_offset is None:
+            kept_offset = (0,) * n_kept
+        else:
+            kept_offset = tuple(int(o) for o in kept_offset)
+            if len(kept_offset) != n_kept:
+                raise ValueError(
+                    f"kept_offset has {len(kept_offset)} entries but this "
+                    f"chunk keeps {n_kept} axes (one offset per kept axis, "
+                    "in kept-axes order)"
+                )
+        if self._blocks is None:
+            self._blocks = {kept_offset: h}
             self._edges = edges
         else:
-            if h.shape != self._counts.shape:
+            n_kept_acc = len(next(iter(self._blocks)))
+            if n_kept != n_kept_acc:
                 raise ValueError(
-                    f"chunk produced kept-axes/bin shape {h.shape}, "
-                    f"accumulator holds {self._counts.shape}: chunks may "
-                    "only vary along reduced axes"
+                    f"chunk keeps {n_kept} axes but the accumulator was "
+                    f"started with {n_kept_acc} kept axes: chunks may only "
+                    "vary along reduced (and offset kept) axes"
                 )
-            self._counts = self._counts + h
+            prev = self._blocks.get(kept_offset)
+            if prev is None:
+                self._blocks[kept_offset] = h
+            else:
+                if h.shape != prev.shape:
+                    raise ValueError(
+                        f"chunk produced kept-axes/bin shape {h.shape}, "
+                        f"accumulator at kept_offset {kept_offset} holds "
+                        f"{prev.shape}: chunks at one offset may only vary "
+                        "along reduced axes"
+                    )
+                self._blocks[kept_offset] = prev + h
         return self
+
+    def _stitched(self):
+        """Concatenate the kept-offset blocks into the full output array,
+        validating that the offsets+shapes tile the kept space exactly."""
+        blocks = self._blocks
+        n_kept = len(next(iter(blocks)))
+        if n_kept == 0 or len(blocks) == 1:
+            (only,) = blocks.values()
+            return only
+
+        def rec(sub, axis):
+            if axis == n_kept:
+                (only,) = sub.values()
+                return only
+            groups = {}
+            for off, arr in sub.items():
+                groups.setdefault(off[axis], {})[off] = arr
+            parts, expect = [], 0
+            for o in sorted(groups):
+                if o != expect:
+                    raise ValueError(
+                        f"kept-axis {axis} blocks do not tile the output: "
+                        f"expected a block starting at {expect}, found "
+                        f"offset {o} (gap or overlap)"
+                    )
+                part = rec(groups[o], axis + 1)
+                parts.append(part)
+                expect = o + part.shape[axis]
+            return np.concatenate(parts, axis=axis)
+
+        return rec(blocks, 0)
 
     @property
     def counts(self):
         """Accumulated counts so far (host array: int64 counts / float64
-        weighted sums — no int32 overflow cap), or None before any
-        update."""
-        return self._counts
+        weighted sums — no int32 overflow cap), stitched over any kept-axis
+        blocks; None before any update."""
+        if self._blocks is None:
+            return None
+        return self._stitched()
 
     def result(self, density=False):
         """(hist, bin_edges) over everything seen so far.
@@ -146,9 +211,9 @@ class StreamingHistogram:
         counts (reference core.py:444-462 semantics — NaN rows normalize
         independently), which is why density cannot be computed per chunk.
         """
-        if self._counts is None:
+        if self._blocks is None:
             raise ValueError("result() before any update()")
-        h = self._counts
+        h = self._stitched()
         if density:
             n_inputs = self._n_inputs
             bin_axes = tuple(range(-n_inputs, 0))
