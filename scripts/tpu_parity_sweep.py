@@ -119,7 +119,7 @@ def main():
     ok &= check("one_input int32 data", [ints], [e(65, -50, 50)], (1,))
     # i8 weighted mode (Mosaic-sensitive int8 lhs wiring) across kernels
     jax.clear_caches()
-    ph._WEIGHTED_MODE, ph._WEIGHTED_SPLIT, ph._WEIGHTED_I8 = "i8", False, True
+    ph._WEIGHTED_MODE = "i8"
     try:
         wna = w(2, 5000).copy()
         wna[0, 3] = np.nan
@@ -132,9 +132,66 @@ def main():
         ok &= check("i8 direct weighted", [d(16, 64), d(16, 64)],
                     [e(41), e(41)], (1,), w(16, 64), atol=2e-3)
     finally:
-        ph._WEIGHTED_MODE = "split"
-        ph._WEIGHTED_SPLIT, ph._WEIGHTED_I8 = True, False
+        ph._WEIGHTED_MODE = "auto"
         jax.clear_caches()
+
+    # shard_map + pallas ON THE CHIP (VERDICT r2 #3): a 1-device mesh runs
+    # the REAL shard_map→Mosaic lowering path (the CPU interpreter missed
+    # two lowering-only failures in r2); psum over a singleton axis is a
+    # real collective in the lowered program.
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from xhistogram_tpu.parallel import histogram_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("dp",))
+    ww_ = w(8, 4096)
+    eds = [e(281), e(341)]
+    a1, a2 = d(6, 3000), d(6, 3000)
+    try:
+        h, _ = histogram_sharded(
+            a1, a2, mesh=mesh, in_spec=P("dp", None), bins=eds,
+            axis=(1,), method="pallas",
+        )
+        exp = oracle_rows([a1, a2], eds)
+        good = np.array_equal(np.asarray(h), exp)
+        print(f"{'OK  ' if good else 'FAIL'} shard_map pallas kept rows "
+              f"parity")
+        ok &= good
+    except Exception as exc:
+        print(f"FAIL shard_map pallas kept rows: {type(exc).__name__}: "
+              f"{str(exc)[:120]}")
+        ok = False
+    try:
+        h, _ = histogram_sharded(
+            a1, a2, mesh=mesh, in_spec=P("dp", None), bins=eds,
+            weights=ww_[:6, :3000], method="pallas",
+        )
+        expw = oracle_rows(
+            [a1.reshape(1, -1), a2.reshape(1, -1)], eds,
+            ww_[:6, :3000].reshape(1, -1),
+        )[0]
+        good = np.allclose(np.asarray(h), expw, rtol=2e-4, atol=2e-4)
+        print(f"{'OK  ' if good else 'FAIL'} shard_map pallas weighted "
+              f"parity")
+        ok &= good
+    except Exception as exc:
+        print(f"FAIL shard_map pallas weighted: {type(exc).__name__}: "
+              f"{str(exc)[:120]}")
+        ok = False
+    # GSPMD implicit path: jit over device_put-committed data, auto method
+    try:
+        sharded = jax.device_put(a1, NamedSharding(mesh, P("dp", None)))
+        h, _ = histogram(sharded, bins=[eds[0]])
+        good = np.array_equal(
+            np.asarray(h), np.histogram(a1.astype("f8"), bins=eds[0])[0]
+        )
+        print(f"{'OK  ' if good else 'FAIL'} gspmd committed-input parity")
+        ok &= good
+    except Exception as exc:
+        print(f"FAIL gspmd committed-input: {type(exc).__name__}: "
+              f"{str(exc)[:120]}")
+        ok = False
 
     print("SWEEP", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)

@@ -43,6 +43,12 @@ from .utils.axes import (
 
 __all__ = ["histogram"]
 
+
+def _pallas_env_mode():
+    from .ops.pallas_hist import _WEIGHTED_MODE
+
+    return _WEIGHTED_MODE
+
 # `range` is a histogram keyword (reference API name, core.py:19-20)
 _builtin_range = range
 
@@ -230,6 +236,7 @@ def _prepare_device(args, edges_np):
         "n_hi_clip",
         "wide_limit",
         "pair_bits",
+        "weighted_mode",
     ),
 )
 def _histogram_impl(
@@ -247,6 +254,7 @@ def _histogram_impl(
     n_hi_clip=None,
     wide_limit=None,
     pair_bits=32,
+    weighted_mode=None,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -320,10 +328,14 @@ def _histogram_impl(
             with jax.named_scope("xhistogram.pallas_kernel"):
                 if nat_views is not None:
                     counts = pallas_histogram2d(
-                        nat_views, edges, nat_w, nbins, reduce_all=True
+                        nat_views, edges, nat_w, nbins, reduce_all=True,
+                        weighted_mode=weighted_mode,
                     )
                 else:
-                    counts = pallas_histogram2d(parts_2d, edges, w_2d, nbins)
+                    counts = pallas_histogram2d(
+                        parts_2d, edges, w_2d, nbins,
+                        weighted_mode=weighted_mode,
+                    )
             if int_weights:
                 # restore the 'weighted counts take the weights dtype'
                 # contract (explicit method='pallas' only; auto never routes
@@ -510,6 +522,28 @@ def histogram(
                 )
             wide_limit = _WIDE_LIMIT
 
+    # Weighted-precision auto upgrade (concrete weights only): when every
+    # nonzero |w| is within 15x of max|w|, the i8x3 mode's per-weight error
+    # bound (2.4e-7 x max|w| per tile) is <= split's 3.8e-6 x |w| for EVERY
+    # weight — strictly-no-worse precision at ~25% less MXU time (see
+    # ops.pallas_hist weighted-mode notes). Traced weights can't be
+    # inspected and stay on split.
+    weighted_mode = None
+    if (
+        weights_b is not None
+        and _pallas_env_mode() == "auto"
+        and not _bins_mod.is_traced(weights_b)
+        and jnp.issubdtype(weights_b.dtype, jnp.floating)
+        and weights_b.size
+    ):
+        aw = jnp.abs(weights_b)
+        finite = jnp.isfinite(aw)
+        mx = jnp.max(jnp.where(finite, aw, 0))
+        nz = finite & (aw > 0)
+        mn = jnp.min(jnp.where(nz, aw, jnp.inf))
+        if bool((mx > 0) & jnp.isfinite(mn) & (mn * 15 >= mx)):
+            weighted_mode = "i8x3"
+
     # Bin areas for density come from the original (untransformed) edges.
     bin_area = (
         jnp.asarray(_bins_mod.bin_areas(edges_np), jnp.float32)
@@ -531,6 +565,7 @@ def histogram(
         n_hi_clip=n_hi_clip,
         wide_limit=wide_limit,
         pair_bits=_PAIR_BITS,
+        weighted_mode=weighted_mode,
     )
     if wide_limit is not None:
         hi, lo = h

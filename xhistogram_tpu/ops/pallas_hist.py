@@ -123,26 +123,44 @@ def _onehot_dtypes():
     return jnp.bfloat16, jnp.float32
 
 
-# Weighted-matmul mode: "split" decomposes f32 weights into two bf16 parts
-# (hi + lo, ~17 mantissa bits of each weight; two bf16 matmuls ≈ 2x
-# unweighted cost); "highest" keeps full-f32 MXU passes (exact, ~5x
-# unweighted cost); "i8" quantizes weights to two per-tile-scaled int8
-# limbs (two int8 matmuls at 2x the bf16 rate ⇒ ~2x faster than split;
-# error model is ABSOLUTE, ~3e-5 x the tile's max |weight| — weights with
-# huge dynamic range lose relative precision, hence opt-in).
-_WEIGHTED_MODE = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split")
-if _WEIGHTED_MODE not in ("split", "highest", "i8"):
+# Weighted-matmul mode:
+#   "auto" (default): "split" — except that EAGER calls whose concrete
+#       weights provably satisfy min |w != 0| >= max|w| / 16 upgrade to
+#       "i8x3", whose per-weight error bound (2.4e-7 x max|w| per tile) is
+#       then <= split's 3.8e-6 x |w| for every weight: strictly-no-worse
+#       precision at ~25% less MXU time (core.histogram does the check).
+#   "split": two bf16 parts hi+lo per weight (~17 mantissa bits, RELATIVE
+#       ~3.8e-6 error per weight); two bf16 matmuls ≈ 2x unweighted cost.
+#   "i8x3": three per-tile-scaled int8 limbs w ≈ s(q1 + q2/128 + q3/2^14);
+#       all three matmuls at the int8 MXU rate (2x bf16) with exact int32
+#       accumulation ⇒ 1.5 bf16-section-equivalents. Error is ABSOLUTE:
+#       <= s/2^15 ≈ 2.4e-7 x the tile's max |weight| per weight.
+#   "i8": two int8 limbs (fastest; ~3e-5 x max|tile weight| — opt-in).
+#   "highest": full-f32 MXU passes + Kahan (exact, ~5x unweighted cost).
+# The resolved mode is threaded through the kernel stack as a static
+# argument (one jit trace per mode — module globals are NOT part of the
+# jit key, so per-call selection must not mutate them).
+_WEIGHTED_MODE = _os.environ.get("XHIST_WEIGHTED_PRECISION", "auto")
+_WEIGHTED_MODES = ("auto", "split", "highest", "i8", "i8x3")
+if _WEIGHTED_MODE not in _WEIGHTED_MODES:
     raise ValueError(
         f"XHIST_WEIGHTED_PRECISION={_WEIGHTED_MODE!r}: valid values are "
-        f"'split', 'highest', 'i8'"
+        f"{_WEIGHTED_MODES}"
     )
-_WEIGHTED_SPLIT = _WEIGHTED_MODE == "split"
-_WEIGHTED_I8 = _WEIGHTED_MODE == "i8"
 
 
-def _weight_rhs_dtype():
+def _resolve_wmode(wmode):
+    """Resolve a per-call mode request against the env default. ``None``
+    means 'no caller preference': the env mode, with 'auto' falling back to
+    split (the upgrade decision needs concrete weights — core.histogram
+    passes an explicit mode when it can make it)."""
+    m = wmode or _WEIGHTED_MODE
+    return "split" if m == "auto" else m
+
+
+def _weight_rhs_dtype(wmode):
     """dtype the weighted kernels build their one-hot rhs in."""
-    return jnp.int8 if _WEIGHTED_I8 else jnp.bfloat16
+    return jnp.int8 if wmode in ("i8", "i8x3") else jnp.bfloat16
 # Split-mode matmul form: two plain dots vs one concat-stacked dot
 # (measured equal-throughput on v5e; two dots avoid the sublane concat copy)
 _SPLIT_TWO_DOTS = _os.environ.get("XHIST_SPLIT_TWO_DOTS", "0") == "1"
@@ -266,7 +284,7 @@ def supports(
         faithful = not _ASSUME_FINITE and jnp.issubdtype(
             weights_dtype, jnp.floating
         )
-        n_outs = 1 + _weighted_extra_outputs(faithful)
+        n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(None))
     return (
         plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs)
         is not None
@@ -369,8 +387,9 @@ def _split_bf16(w_row):
     return hi, lo
 
 
-def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
-    """counts = (onehot ⊙ w) ·ᵉ rhs with f32 weights.
+def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
+    """counts = (onehot ⊙ w) ·ᵉ rhs with f32 weights, in the given
+    (already-resolved) precision mode.
 
     Returns ``(counts, flags)`` where ``flags`` is ``None`` unless
     ``faithful``, else the ``(isnan, isposinf, isneginf)`` (1, E) masks of
@@ -379,7 +398,8 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
     ``_accum_channels_when_bad`` for the conditional indicator matmul.
 
     In split mode: bf16 matmuls against the hi/lo weight parts stacked along
-    the lhs row axis (one MXU dot_general); else one full-precision f32
+    the lhs row axis (one MXU dot_general); i8/i8x3: 2/3 per-tile-scaled
+    int8 limb matmuls at the int8 MXU rate; highest: one full-precision f32
     matmul (Mosaic supports DEFAULT and HIGHEST only).
     """
     dn = (((1,), (1,)), ((), ()))
@@ -393,57 +413,58 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_bf16, faithful):
         isneg = w_row == jnp.float32(-jnp.inf)
         wf = jnp.where(isnan | ispos | isneg, jnp.float32(0), w_row)
         flags = (isnan, ispos, isneg)
-    if _WEIGHTED_I8:
-        # two per-tile-scaled int8 limbs: w ≈ s·(q1 + q2/128), |q1| ≤ 127,
-        # |q2| ≤ 64; both matmuls run at the int8 MXU rate with int32
-        # accumulation (exact given integer operands), rescaled in f32
+    if wmode in ("i8", "i8x3"):
+        # per-tile-scaled int8 limbs: w ≈ s·(q1 + q2/128 [+ q3/2^14]),
+        # |q1| ≤ 127, |q2|,|q3| ≤ 64; every limb matmul runs at the int8
+        # MXU rate (2x bf16) with int32 accumulation (exact given integer
+        # operands), rescaled in f32. Representation error: s/2^8 (i8,
+        # ~3e-5·max|w|) / s/2^15 (i8x3, ~2.4e-7·max|w|).
+        n_limbs = 3 if wmode == "i8x3" else 2
         amax = jnp.max(jnp.abs(wf))
         s = jnp.maximum(amax, jnp.float32(1e-30)) * jnp.float32(1.0 / 127.0)
         q = wf * (jnp.float32(1.0) / s)
-        q1f = jnp.floor(q + jnp.float32(0.5))  # round-half-up, |q| ≤ 127
-        q2f = jnp.floor((q - q1f) * jnp.float32(128.0) + jnp.float32(0.5))
         # f32 select-then-cast: a direct int8 `where` against the (rows, E)
         # bool mask hits an unsupported Mosaic relayout ((8,128) mask vs
         # (32,128) int8 tiling); the f32 product lowers and the cast is the
         # same known-good bool→int8 path the unweighted kernels use
         lhs_f = oh_lhs_bool.astype(jnp.float32)
-        lhs1 = (lhs_f * q1f).astype(jnp.int8)
-        lhs2 = (lhs_f * q2f).astype(jnp.int8)
-        r1 = jax.lax.dot_general(
-            lhs1, rhs_bf16, dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
-        )
-        r2 = jax.lax.dot_general(
-            lhs2, rhs_bf16, dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
-        )
-        counts = (
-            r1.astype(jnp.float32)
-            + r2.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
-        ) * s
-    elif _WEIGHTED_SPLIT:
+        counts = None
+        scale = jnp.float32(1.0)
+        rem = q
+        for _ in range(n_limbs):
+            qk = jnp.floor(rem + jnp.float32(0.5))  # round-half-up
+            lhs_k = (lhs_f * qk).astype(jnp.int8)
+            d = jax.lax.dot_general(
+                lhs_k, rhs_w, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * scale
+            counts = d if counts is None else counts + d
+            rem = (rem - qk) * jnp.float32(128.0)
+            scale = scale * jnp.float32(1.0 / 128.0)
+        counts = counts * s
+    elif wmode == "split":
         lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
         hi, lo = _split_bf16(wf)
         if _SPLIT_TWO_DOTS:
             # two plain dots (no sublane concat copy of the stacked lhs)
             counts = jax.lax.dot_general(
-                lhs_b * hi, rhs_bf16, dimension_numbers=dn,
+                lhs_b * hi, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                lhs_b * lo, rhs_bf16, dimension_numbers=dn,
+                lhs_b * lo, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )
         else:
             lhs = jnp.concatenate([lhs_b * hi, lhs_b * lo], axis=0)
             res = jax.lax.dot_general(
-                lhs, rhs_bf16, dimension_numbers=dn,
+                lhs, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )
             counts = res[:nrows] + res[nrows:]
     else:
         lhs = oh_lhs_bool.astype(jnp.float32) * wf
         counts = jax.lax.dot_general(
-            lhs, rhs_bf16.astype(jnp.float32), dimension_numbers=dn,
+            lhs, rhs_w.astype(jnp.float32), dimension_numbers=dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -487,24 +508,24 @@ def _n_weight_channels(faithful):
     return 3 if faithful else 0
 
 
-def _weight_lhs_bytes(faithful):
+def _weight_lhs_bytes(faithful, wmode):
     """Live lhs bytes per (row, element) across the weighted matmul
-    sections for VMEM tile sizing: split two bf16 sections (4 B), i8 one
-    f32 staging product + two int8 limbs (6 B), highest one f32 (4 B);
-    + bf16 channel sections (counted conservatively — they only
+    sections for VMEM tile sizing: split two bf16 sections (4 B), i8/i8x3
+    one f32 staging product + 2/3 int8 limbs (6/7 B), highest one f32
+    (4 B); + bf16 channel sections (counted conservatively — they only
     materialize on poisoned tiles)."""
-    base = 6 if _WEIGHTED_I8 else 4
+    base = {"i8": 6, "i8x3": 7}.get(wmode, 4)
     return base + 2 * _n_weight_channels(faithful)
 
 
-def _kahan():
+def _kahan(wmode):
     """Compensated cross-tile accumulation for weighted counts. On by
     default in 'highest' precision mode (whose per-tile matmul sums are
     exact f32, leaving cross-tile accumulation as the only error source —
     Kahan reduces it from O(n_tiles) ulp to O(1) ulp, i.e. near-f64
     totals); split mode is representation-limited (~17-bit weights) so the
     compensation would be noise."""
-    return _WEIGHTED_MODE == "highest"
+    return wmode == "highest"
 
 
 def _kahan_add(o_ref, c_ref, v):
@@ -526,10 +547,10 @@ def _accum_weighted(o_refs, counts, kahan):
     return o_refs[1:]
 
 
-def _weighted_extra_outputs(faithful):
+def _weighted_extra_outputs(faithful, wmode):
     """Extra output operands beyond counts: optional Kahan compensation
     block + faithful channels."""
-    return (1 if _kahan() else 0) + _n_weight_channels(faithful)
+    return (1 if _kahan(wmode) else 0) + _n_weight_channels(faithful)
 
 
 def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
@@ -595,6 +616,7 @@ def _bin_rows(a_row, lo_col, hi_col):
 def _one_input_kernel(
     a_ref, w_ref, lo_ref, hi_ref, *o_refs,
     nb, f, m_true, c_syn, c_real, weighted, reduce_all, faithful,
+    wmode="split", ones_lhs=False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -623,6 +645,30 @@ def _one_input_kernel(
         & (sub * c_syn + cols < c_real)
     )
 
+    if ones_lhs:
+        # reduce-all float fast path: mask out-of-bounds elements in the
+        # DATA (NaN fails every >= compare — same "contributes nowhere"
+        # routing as real NaNs) so the row-selection one-hot R collapses to
+        # a constant ones lhs: no per-tile R build, no R cast. Every output
+        # row then holds the full tile count; the wrapper reads row 0.
+        a_row = jnp.where(
+            in_bounds, a_row, jnp.asarray(jnp.nan, a_row.dtype)
+        )
+        A = (a_row >= lo_ref[...]).astype(jnp.bfloat16)
+        counts = jax.lax.dot_general(
+            jnp.ones((tm, e_elems), jnp.bfloat16), A,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when((i == 0) & (j == 0))
+        def _init0():
+            for r in o_refs:
+                r[...] = jnp.zeros_like(r)
+
+        o_refs[0][...] += counts.astype(o_refs[0].dtype)
+        return
+
     m_col = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     R_bool = (m_col == local_row) & in_bounds
     flags = rhs_bf = None
@@ -630,10 +676,10 @@ def _one_input_kernel(
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
         rhs_bf = _bin_rows(a_row, lo_ref[...], hi_ref[...]).astype(
-            _weight_rhs_dtype()
+            _weight_rhs_dtype(wmode)
         )
         counts, flags = _weighted_dot(
-            R_bool, w_ref[...].reshape(1, e_elems), rhs_bf, faithful
+            R_bool, w_ref[...].reshape(1, e_elems), rhs_bf, faithful, wmode
         )
     else:
         # cumulative compare rows: 1 compare per edge (vs 3 ops per bin);
@@ -664,14 +710,14 @@ def _one_input_kernel(
                 r[...] = jnp.zeros_like(r)
 
     if weighted:
-        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        ch_refs = _accum_weighted(o_refs, counts, _kahan(wmode))
         if flags is not None:
             _accum_channels_when_bad(ch_refs, R_bool, flags, rhs_bf)
     else:
         o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
-def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
+def _run_one_input(a2d, w2d, edges, nbins, reduce_all, wmode="split"):
     # (m, c) is the canonical layout, or (reduce_all) an arbitrary
     # minor-dim-preserving 2-D view of the element set. Small-m inputs are
     # folded into synthetic sub-rows either way — one reshape copy beats the
@@ -696,8 +742,8 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     # accounting — data f32 + A as bool+bf16 + stacked bf16 lhs + temps.
     nb_out = rows_pad
     if weighted_mode:
-        n_x = _weighted_extra_outputs(faithful)
-        bpe = 20 + 3 * nb_out + _weight_lhs_bytes(faithful) * tm
+        n_x = _weighted_extra_outputs(faithful, wmode)
+        bpe = 20 + 3 * nb_out + _weight_lhs_bytes(faithful, wmode) * tm
         fixed = (1 + n_x) * tm * nb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
@@ -721,17 +767,28 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
     out_rows = tm if reduce_all else m_pad
-    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
+    n_outs = 1 + (
+        _weighted_extra_outputs(faithful, wmode) if weighted else 0
+    )
     out_spec = pl.BlockSpec(
         (tm, nb_out),
         fixed if reduce_all else (lambda i, j: (i, 0)),
         memory_space=pltpu.VMEM,
+    )
+    # ones-lhs fast path (reduce-all, unweighted, float data): masking the
+    # data with NaN replaces the per-tile row-selection one-hot build
+    ones_lhs = (
+        reduce_all
+        and not weighted_mode
+        and jnp.issubdtype(a2d.dtype, jnp.floating)
+        and _os.environ.get("XHIST_ONEINPUT_ONES", "0") == "1"
     )
     results = pl.pallas_call(
         partial(
             _one_input_kernel,
             nb=nb, f=f, m_true=m_syn, c_syn=c_syn, c_real=c,
             weighted=weighted, reduce_all=reduce_all, faithful=faithful,
+            wmode=wmode, ones_lhs=ones_lhs,
         ),
         grid=grid,
         in_specs=[
@@ -757,6 +814,8 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     def merge(x):
         # merge sublane partials / synthetic sub-rows
         if reduce_all:
+            if ones_lhs:
+                return x[0:1]  # every row holds the full count
             return x.sum(axis=0, keepdims=True)
         x = x[:m_syn]
         if f > 1:
@@ -766,7 +825,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all):
     m_out = 1 if reduce_all else m
     if weighted_mode:
         counts = merge(results[0])[:, :nb]
-        k = 1 if _kahan() else 0
+        k = 1 if _kahan(wmode) else 0
         if k:
             counts = counts - merge(results[1])[:, :nb]
         channels = tuple(
@@ -791,6 +850,7 @@ def _joint2_kernel(
     a_ref, b_ref, w_ref,
     alo_ref, ahi_ref, blo_ref, bhi_ref, *o_refs,
     nba, nbb, m_true, f, c_syn, c_real, weighted, faithful,
+    wmode="split",
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -816,6 +876,16 @@ def _joint2_kernel(
         & (sub * c_syn + cols < c_real)
     )
 
+    # For float data, fold the bounds mask into the DATA once (NaN fails
+    # every compare — identical routing to real NaNs) instead of ANDing the
+    # (1, E) mask into every row of the (nba, E) one-hot: saves ~nba VPU
+    # ops/element. Int data keeps the row-wise AND (no NaN available).
+    nan_mask = jnp.issubdtype(a_ref.dtype, jnp.floating) and (
+        _os.environ.get("XHIST_JOINT2_NANMASK", "1") == "1"
+    )
+    if nan_mask:
+        a_row = jnp.where(ok_row, a_row, jnp.asarray(jnp.nan, a_row.dtype))
+
     flag_chunks = []
     if weighted:
         # E-axis sub-chunking measured SLOWER here (3.22 vs 3.33 GB/s on
@@ -832,13 +902,15 @@ def _joint2_kernel(
         counts = None
         for s in range(k):
             sl = slice(s * step, (s + 1) * step)
-            A_s = _bin_rows(a_row[:, sl], alo_ref[...], ahi_ref[...]) & (
-                ok_row[:, sl]
-            )
+            A_s = _bin_rows(a_row[:, sl], alo_ref[...], ahi_ref[...])
+            if not nan_mask:
+                A_s = A_s & ok_row[:, sl]
             B_s = _bin_rows(b_row[:, sl], blo_ref[...], bhi_ref[...]).astype(
-                _weight_rhs_dtype()
+                _weight_rhs_dtype(wmode)
             )
-            c_s, flags_s = _weighted_dot(A_s, w_row[:, sl], B_s, faithful)
+            c_s, flags_s = _weighted_dot(
+                A_s, w_row[:, sl], B_s, faithful, wmode
+            )
             counts = c_s if counts is None else counts + c_s
             if flags_s is not None:
                 flag_chunks.append((A_s, flags_s, B_s))
@@ -858,9 +930,10 @@ def _joint2_kernel(
             counts = None
             for s in range(k):
                 sl = slice(s * step, (s + 1) * step)
-                As = ((a_row[:, sl] >= alo_ref[...]) & ok_row[:, sl]).astype(
-                    oh_dt
-                )
+                As = a_row[:, sl] >= alo_ref[...]
+                if not nan_mask:
+                    As = As & ok_row[:, sl]
+                As = As.astype(oh_dt)
                 Bs = (b_row[:, sl] >= blo_ref[...]).astype(oh_dt)
                 d = jax.lax.dot_general(
                     As, Bs, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -868,7 +941,10 @@ def _joint2_kernel(
                 )
                 counts = d if counts is None else counts + d
         else:
-            A = ((a_row >= alo_ref[...]) & ok_row).astype(oh_dt)
+            A = a_row >= alo_ref[...]
+            if not nan_mask:
+                A = A & ok_row
+            A = A.astype(oh_dt)
             B = (b_row >= blo_ref[...]).astype(oh_dt)
             counts = jax.lax.dot_general(
                 A, B, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -881,14 +957,14 @@ def _joint2_kernel(
             r[...] = jnp.zeros_like(r)
 
     if weighted:
-        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        ch_refs = _accum_weighted(o_refs, counts, _kahan(wmode))
         for A_s, flags_s, B_s in flag_chunks:
             _accum_channels_when_bad(ch_refs, A_s, flags_s, B_s)
     else:
         o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
-def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
+def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins, wmode="split"):
     # full-reduction joint histogram over an arbitrary 2-D element set —
     # operands keep their natural shape, only tail padding (no-op when the
     # shape is tile-aligned); small-m inputs fold into synthetic sub-rows
@@ -915,8 +991,11 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     nba_out = _round_up(nba_pad, _SUB)
     nbb_out = nbb_pad  # sublane-rounded only; Mosaic masks non-128 lanes
     if weighted_mode:
-        n_x = _weighted_extra_outputs(faithful)
-        bpe = 28 + (1 + _weight_lhs_bytes(faithful)) * nba_out + 3 * nbb_out
+        n_x = _weighted_extra_outputs(faithful, wmode)
+        bpe = (
+            28 + (1 + _weight_lhs_bytes(faithful, wmode)) * nba_out
+            + 3 * nbb_out
+        )
         fixed = (1 + n_x) * nba_out * nbb_out * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
     else:
@@ -952,13 +1031,15 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
     moving = lambda i, j: (i, j)
-    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
+    n_outs = 1 + (
+        _weighted_extra_outputs(faithful, wmode) if weighted else 0
+    )
     out_spec = pl.BlockSpec((nba_out, nbb_out), fixed, memory_space=pltpu.VMEM)
     results = pl.pallas_call(
         partial(
             _joint2_kernel,
             nba=nba, nbb=nbb, m_true=m_syn, f=f, c_syn=c_syn, c_real=c,
-            weighted=weighted, faithful=faithful,
+            weighted=weighted, faithful=faithful, wmode=wmode,
         ),
         grid=grid,
         in_specs=[
@@ -986,7 +1067,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
     counts = results[0]
     if weighted_mode:
         base = counts[:nba, :nbb]
-        k = 1 if _kahan() else 0
+        k = 1 if _kahan(wmode) else 0
         if k:
             base = base - results[1][:nba, :nbb]
         channels = tuple(r[:nba, :nbb] for r in results[1 + k :]) or None
@@ -1009,7 +1090,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins):
 
 def _factored_kernel(
     *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1c, log2_n2, weighted,
-    per_row, faithful, rpt=1,
+    per_row, faithful, wmode="split", rpt=1,
 ):
     """Digitize → flat joint slot id g → split into integer sub-indices
     (g1, g2) = (g >> log2_n2, g & (n2-1)) → equality one-hots → one matmul
@@ -1094,9 +1175,9 @@ def _factored_kernel(
     flags = None
     if weighted:
         A1 = r1 == g1  # (n1c, E) equality one-hot for this n1 chunk
-        A2 = (r2 == g2).astype(_weight_rhs_dtype())  # (n2, E)
+        A2 = (r2 == g2).astype(_weight_rhs_dtype(wmode))  # (n2, E)
         counts, flags = _weighted_dot(
-            A1, w_ref[...].reshape(1, e_elems), A2, faithful
+            A1, w_ref[...].reshape(1, e_elems), A2, faithful, wmode
         )
     else:
         # NOTE: joint2-style E-axis sub-chunking measured SLOWER here
@@ -1117,7 +1198,7 @@ def _factored_kernel(
             r[...] = jnp.zeros_like(r)
 
     if weighted:
-        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        ch_refs = _accum_weighted(o_refs, counts, _kahan(wmode))
         if flags is not None:
             _accum_channels_when_bad(ch_refs, A1, flags, A2)
     else:
@@ -1136,9 +1217,18 @@ def _packed_tm():
 
 def _pick_factorization(n_slots):
     """Choose the (n1, n2 = 2^k) slot factorization minimizing padded MXU
-    work n1·n2 (== out VMEM), tie-broken by n1+n2 (the VPU one-hot cost)."""
+    work n1·n2 (== out VMEM), tie-broken by n1+n2 (the VPU one-hot cost).
+
+    ``XHIST_MIN_LOG2N2`` lowers the smallest n2 considered (default 7 =
+    128 lanes); ``XHIST_FORCE_LOG2N2`` pins it outright (probe knobs —
+    sub-128 n2 output blocks lower fine, Mosaic masks the lanes)."""
+    force = _os.environ.get("XHIST_FORCE_LOG2N2")
+    if force is not None:
+        k = int(force)
+        return _round_up(-(-n_slots // (1 << k)), _SUB), k
+    lo = int(_os.environ.get("XHIST_MIN_LOG2N2", 7))
     best = None
-    for log2_n2 in range(7, max(8, n_slots.bit_length() + 1)):
+    for log2_n2 in range(lo, max(lo + 1, n_slots.bit_length() + 1)):
         n2 = 1 << log2_n2
         n1 = _round_up(-(-n_slots // n2), _SUB)
         key = (n1 * n2, n1 + n2)
@@ -1148,7 +1238,7 @@ def _pick_factorization(n_slots):
 
 
 def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
-                  packed=False):
+                  packed=False, wmode="split"):
     """``per_row``: one tile per kept row (wide reduce axes). ``packed``:
     several kept rows per tile with their slot spaces stacked into one
     factored space — full tiles for narrow reduce axes (c < 256) where
@@ -1175,7 +1265,9 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
 
     weighted = weights_2d is not None
     out_dtype = jnp.int32 if not weighted else jnp.float32
-    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
+    n_outs = 1 + (
+        _weighted_extra_outputs(faithful, wmode) if weighted else 0
+    )
 
     # Chunk n1 so the VMEM-resident output block(s) stay bounded — huge
     # joint grids (> ~2M slots) keep the full (n1, n2) grid in HBM and
@@ -1190,7 +1282,8 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
 
     # A1+A2 are ((n1c+n2), E); weighted mode adds the stacked bf16 sections
     if weighted:
-        bpe = 32 + 4 * n_inputs + (1 + _weight_lhs_bytes(faithful)) * n1c
+        bpe = 32 + 4 * n_inputs
+        bpe += (1 + _weight_lhs_bytes(faithful, wmode)) * n1c
         bpe += 3 * n2
         fixed = n_outs * n1c * n2 * 4
         tc = _pick_tc_bytes(bpe, fixed, c_syn, tm)
@@ -1255,6 +1348,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
             weighted=weighted,
             per_row=per_row,
             faithful=faithful,
+            wmode=wmode,
             rpt=rpt,
         ),
         grid=grid,
@@ -1282,7 +1376,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
 
     counts = post(results[0])
     if weighted:
-        k = 1 if _kahan() else 0
+        k = 1 if _kahan(wmode) else 0
         if k:
             counts = counts - post(results[1])
         channels = tuple(post(r) for r in results[1 + k :]) or None
@@ -1297,7 +1391,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
 
 def _direct_kernel(
     *refs, n_inputs, nbins, m_true, f, c_syn, c_real, slot_chunk,
-    weighted, faithful,
+    weighted, faithful, wmode="split",
 ):
     data_refs = refs[:n_inputs]
     pos = n_inputs
@@ -1353,9 +1447,9 @@ def _direct_kernel(
     R_bool = m_col == local_row
     flags = None
     if weighted:
-        G_bf = G.astype(_weight_rhs_dtype())
+        G_bf = G.astype(_weight_rhs_dtype(wmode))
         counts, flags = _weighted_dot(
-            R_bool, w_ref[...].reshape(1, e_elems), G_bf, faithful
+            R_bool, w_ref[...].reshape(1, e_elems), G_bf, faithful, wmode
         )
     else:
         oh_dt, acc_dt = _onehot_dtypes()
@@ -1372,20 +1466,21 @@ def _direct_kernel(
             r[...] = jnp.zeros_like(r)
 
     if weighted:
-        ch_refs = _accum_weighted(o_refs, counts, _kahan())
+        ch_refs = _accum_weighted(o_refs, counts, _kahan(wmode))
         if flags is not None:
             _accum_channels_when_bad(ch_refs, R_bool, flags, G_bf)
     else:
         o_refs[0][...] += counts.astype(o_refs[0].dtype)
 
 
-def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False):
+def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False,
+                       wmode="split"):
     tm = _SUB
     tc = min(_MAX_TC, 512)
     slot_chunk = min(n_slots_pad, 1024)
     budget_elems = _VMEM_BUDGET // 4
     if weighted:
-        budget_elems //= 3 + _weighted_extra_outputs(faithful)
+        budget_elems //= 3 + _weighted_extra_outputs(faithful, wmode)
     while tm * tc * slot_chunk > budget_elems and tc > _LANE:
         tc //= 2
     while tm * tc * slot_chunk > budget_elems and slot_chunk > _LANE:
@@ -1393,7 +1488,7 @@ def _pick_tiles_direct(n_slots_pad, weighted=False, faithful=False):
     return tm, tc, slot_chunk
 
 
-def _run_direct(arrays_2d, edges, weights_2d, nbins):
+def _run_direct(arrays_2d, edges, weights_2d, nbins, wmode="split"):
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
     n_real = math.prod(int(b) for b in nbins)
@@ -1406,7 +1501,8 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
     )
 
     tm, tc, slot_chunk = _pick_tiles_direct(
-        n_slots_pad, weighted=weights_2d is not None, faithful=faithful
+        n_slots_pad, weighted=weights_2d is not None, faithful=faithful,
+        wmode=wmode,
     )
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
@@ -1444,7 +1540,9 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
         )
         operands.append(col)
 
-    n_outs = 1 + (_weighted_extra_outputs(faithful) if weighted else 0)
+    n_outs = 1 + (
+        _weighted_extra_outputs(faithful, wmode) if weighted else 0
+    )
     out_spec = pl.BlockSpec(
         (tm, slot_chunk), lambda i, n, j: (i, n), memory_space=pltpu.VMEM
     )
@@ -1460,6 +1558,7 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
             slot_chunk=slot_chunk,
             weighted=weighted,
             faithful=faithful,
+            wmode=wmode,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1481,7 +1580,7 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins):
 
     counts = post(results[0])
     if weighted:
-        k = 1 if _kahan() else 0
+        k = 1 if _kahan(wmode) else 0
         if k:
             counts = counts - post(results[1])
         channels = tuple(post(r) for r in results[1 + k :]) or None
@@ -1504,12 +1603,13 @@ def _interpret():
     return pltpu.InterpretParams()
 
 
-def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
+def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
+              wmode="split"):
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
     n_outs = 1
     if weights_2d is not None:
-        n_outs += _weighted_extra_outputs(_faithful_mode(weights_2d))
+        n_outs += _weighted_extra_outputs(_faithful_mode(weights_2d), wmode)
     # reduce_all inputs may be natural (m', c') views of the flat element
     # set; the plan's canonical full-reduce layout is m == 1
     kernel = plan(
@@ -1520,6 +1620,9 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
         weighted=weights_2d is not None,
         n_outs=n_outs,
     )
+    forced = _os.environ.get("XHIST_FORCE_KERNEL")
+    if forced:  # probe/bench knob: bypass plan()'s choice
+        kernel = forced
     if kernel is None:
         # Explicit method='pallas' call outside the efficient envelope:
         # honor it with the most general kernel for the layout ('auto'
@@ -1527,41 +1630,49 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all):
         kernel = "factored" if reduce_all else "direct"
     if kernel == "one_input":
         return _run_one_input(
-            arrays_2d[0], weights_2d, edges[0], nbins, reduce_all
+            arrays_2d[0], weights_2d, edges[0], nbins, reduce_all,
+            wmode=wmode,
         )
     if kernel == "joint2":
         return _run_joint2(
-            arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1], nbins
+            arrays_2d[0], arrays_2d[1], weights_2d, edges[0], edges[1],
+            nbins, wmode=wmode,
         )
     if kernel == "factored":
-        return _run_factored(arrays_2d, edges, weights_2d, nbins)
+        return _run_factored(arrays_2d, edges, weights_2d, nbins,
+                             wmode=wmode)
     if kernel == "factored_per_row":
         return _run_factored(
-            list(arrays_2d), edges, weights_2d, nbins, per_row=True
+            list(arrays_2d), edges, weights_2d, nbins, per_row=True,
+            wmode=wmode,
         )
     if kernel == "factored_packed":
         return _run_factored(
-            list(arrays_2d), edges, weights_2d, nbins, packed=True
+            list(arrays_2d), edges, weights_2d, nbins, packed=True,
+            wmode=wmode,
         )
-    return _run_direct(list(arrays_2d), edges, weights_2d, nbins)
+    return _run_direct(list(arrays_2d), edges, weights_2d, nbins,
+                       wmode=wmode)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _weighted_call(arrays_2d, edges, weights_2d, nbins, reduce_all):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _weighted_call(arrays_2d, edges, weights_2d, nbins, reduce_all, wmode):
     """Weighted kernel dispatch with a custom VJP: the histogram is linear in
     the weights, so d(counts)/d(w_e) is the one-hot of element e's joint slot
     — the cotangent pullback is a gather of g at each element's slot. Data
     and edge cotangents are zero (piecewise-constant dependence), matching
     the XLA strategies' implicit behavior."""
-    return _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all)
+    return _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
+                     wmode=wmode)
 
 
-def _weighted_fwd(arrays_2d, edges, weights_2d, nbins, reduce_all):
-    out = _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all)
+def _weighted_fwd(arrays_2d, edges, weights_2d, nbins, reduce_all, wmode):
+    out = _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
+                    wmode=wmode)
     return out, (arrays_2d, edges, jnp.zeros((), weights_2d.dtype))
 
 
-def _weighted_bwd(nbins, reduce_all, res, g):
+def _weighted_bwd(nbins, reduce_all, wmode, res, g):
     from .digitize import digitize_edges, joint_bin_index
 
     arrays_2d, edges, w_proto = res
@@ -1579,7 +1690,8 @@ def _weighted_bwd(nbins, reduce_all, res, g):
 _weighted_call.defvjp(_weighted_fwd, _weighted_bwd)
 
 
-def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False):
+def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False,
+                       weighted_mode=None):
     """Fused Pallas histogram over a 2-D layout.
 
     With ``reduce_all=False`` the layout is the canonical (kept rows, reduce
@@ -1596,6 +1708,7 @@ def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False):
     reduce_all = bool(reduce_all or arrays_2d[0].shape[0] == 1)
     if weights_2d is not None:
         return _weighted_call(
-            tuple(arrays_2d), tuple(edges), weights_2d, tuple(nbins), reduce_all
+            tuple(arrays_2d), tuple(edges), weights_2d, tuple(nbins),
+            reduce_all, _resolve_wmode(weighted_mode),
         )
     return _dispatch(list(arrays_2d), list(edges), None, nbins, reduce_all)
