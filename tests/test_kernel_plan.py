@@ -34,12 +34,15 @@ def test_plan_known_boundaries():
     assert ph.plan(1, (300,), 1) == "one_input"
     # classic T-S joint grid, full reduce → joint2
     assert ph.plan(2, (280, 340), 1) == "joint2"
-    # big joint grid, full reduce → factored (slot cap 2^24 unweighted,
-    # measured 2x the sort fallback at the cap — scripts/cliff_perf.py r2)
+    # big joint grid, full reduce → factored (slot caps at the measured
+    # fused/sort crossovers: 2^25 unweighted ~ the r2 crossover, 2^24
+    # weighted where the sort fallback crashes the TPU runtime while fused
+    # is still 3-4x faster — scripts/cliff_perf.py r2 / r3_caps.py r3)
     assert ph.plan(2, (2048, 2048), 1) == "factored"
-    assert ph.plan(2, (4096, 4095), 1) == "factored"  # 16.8M < 2^24
-    assert ph.plan(2, (4097, 4096), 1) is None
-    assert ph.plan(2, (4096, 4096), 1, weighted=True) is None  # > 2^22
+    assert ph.plan(2, (5792, 5792), 1) == "factored"  # 33.5M < 2^25
+    assert ph.plan(2, (5793, 5793), 1) is None
+    assert ph.plan(2, (4096, 4095), 1, weighted=True) == "factored"
+    assert ph.plan(2, (4096, 4096), 1, weighted=True) is None  # > 2^24
     # kept rows, wide reduce axis, large grid → per-row factored
     assert ph.plan(2, (280, 340), 64, c=100_000) == "factored_per_row"
     # kept rows, narrow reduce axis, small grid → direct
@@ -49,7 +52,8 @@ def test_plan_known_boundaries():
     assert ph.plan(2, (280, 340), 64, c=64) == "factored_packed"
     # packed slot cap: 8 rows per tile × slots ≤ slot cap
     assert ph.plan(2, (1024, 1024), 64, c=64) == "factored_packed"
-    assert ph.plan(2, (2048, 1024), 64, c=64) is None
+    assert ph.plan(2, (2048, 1024), 64, c=64) == "factored_packed"
+    assert ph.plan(2, (2048, 2048), 64, c=64) is None  # 8 x slots > 2^25
     # edge-count cap (total edges incl. the +1 per input; r2: fori digitize
     # lifted it from 8192 to _MAX_EDGES)
     assert ph.plan(1, (ph._MAX_EDGES - 2,), 1) == "factored"

@@ -62,14 +62,13 @@ def test_highest_mode_weighted_end_to_end(monkeypatch):
     np.testing.assert_allclose(np.asarray(h)[: 9], expected, rtol=3e-7)
 
 
-def test_default_auto_mode_documented_tolerance():
-    """The default 'auto' mode resolves to split for generic weights (the
-    uniform[0,1) weights here have unbounded dynamic range, so the i8x3
-    upgrade must NOT fire) and meets the split tolerance."""
+def test_default_mode_documented_tolerance():
+    """The default mode is split (~17-bit weight representation, relative
+    ~4e-6 per weight); generic weights must meet its tolerance."""
     import jax
 
     jax.clear_caches()  # don't inherit a monkeypatched-mode trace
-    assert ph._WEIGHTED_MODE == "auto"
+    assert ph._WEIGHTED_MODE == "split"
     rng = np.random.RandomState(1)
     data = rng.uniform(-3.5, 3.5, size=(8, 2048)).astype("f4")
     w = rng.rand(8, 2048).astype("f4")
@@ -143,37 +142,6 @@ def test_split_mode_documented_tolerance(monkeypatch):
     expected = np.histogram(data.ravel(), bins=edges,
                             weights=w.ravel().astype("f8"))[0]
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
-
-
-def test_auto_upgrades_to_i8x3_on_provable_ranges():
-    """auto mode upgrades concrete weights whose nonzero range is within
-    15x to i8x3 (2.4e-7 x max|w| per-weight bound <= split's 3.8e-6 x |w|
-    for every weight): the result must meet the split-mode tolerance, and
-    the upgrade decision must actually fire (checked via core's selector).
-    Wide-range weights must NOT upgrade."""
-    import jax
-
-    from xhistogram_tpu import core as core_mod
-
-    jax.clear_caches()
-    rng = np.random.RandomState(7)
-    data = rng.uniform(-3.5, 3.5, size=(4, 4096)).astype("f4")
-    edges = np.linspace(-4, 4, 10)
-
-    # same-magnitude weights (range 2x): upgrade fires, split tolerance held
-    w = (1.0 + rng.rand(4, 4096)).astype("f4")
-    h, _ = histogram(data, bins=edges, weights=w, method="pallas")
-    expected = np.histogram(data.ravel(), bins=edges,
-                            weights=w.ravel().astype("f8"))[0]
-    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
-
-    # 1e6 dynamic range: auto must stay on split (still split tolerance)
-    scale = 10.0 ** rng.uniform(-3, 3, (4, 4096))
-    w2 = (scale * (0.5 + rng.rand(4, 4096))).astype("f4")
-    h2, _ = histogram(data, bins=edges, weights=w2, method="pallas")
-    expected2 = np.histogram(data.ravel(), bins=edges,
-                             weights=w2.ravel().astype("f8"))[0]
-    np.testing.assert_allclose(np.asarray(h2), expected2, rtol=1e-5)
 
 
 def test_i8x3_mode_precision_bound(monkeypatch):

@@ -43,12 +43,6 @@ from .utils.axes import (
 
 __all__ = ["histogram"]
 
-
-def _pallas_env_mode():
-    from .ops.pallas_hist import _WEIGHTED_MODE
-
-    return _WEIGHTED_MODE
-
 # `range` is a histogram keyword (reference API name, core.py:19-20)
 _builtin_range = range
 
@@ -522,27 +516,12 @@ def histogram(
                 )
             wide_limit = _WIDE_LIMIT
 
-    # Weighted-precision auto upgrade (concrete weights only): when every
-    # nonzero |w| is within 15x of max|w|, the i8x3 mode's per-weight error
-    # bound (2.4e-7 x max|w| per tile) is <= split's 3.8e-6 x |w| for EVERY
-    # weight — strictly-no-worse precision at ~25% less MXU time (see
-    # ops.pallas_hist weighted-mode notes). Traced weights can't be
-    # inspected and stay on split.
+    # Weighted-precision mode: the env default ('split' unless overridden).
+    # r3 measured the faster-MXU i8x3 candidate speed-neutral on chip (its
+    # third quantize-lhs VPU build eats the MXU saving), so there is no
+    # auto-upgrade — callers pick i8x3/i8/highest explicitly via
+    # XHIST_WEIGHTED_PRECISION when their error model allows it.
     weighted_mode = None
-    if (
-        weights_b is not None
-        and _pallas_env_mode() == "auto"
-        and not _bins_mod.is_traced(weights_b)
-        and jnp.issubdtype(weights_b.dtype, jnp.floating)
-        and weights_b.size
-    ):
-        aw = jnp.abs(weights_b)
-        finite = jnp.isfinite(aw)
-        mx = jnp.max(jnp.where(finite, aw, 0))
-        nz = finite & (aw > 0)
-        mn = jnp.min(jnp.where(nz, aw, jnp.inf))
-        if bool((mx > 0) & jnp.isfinite(mn) & (mn * 15 >= mx)):
-            weighted_mode = "i8x3"
 
     # Bin areas for density come from the original (untransformed) edges.
     bin_area = (

@@ -124,24 +124,25 @@ def _onehot_dtypes():
 
 
 # Weighted-matmul mode:
-#   "auto" (default): "split" — except that EAGER calls whose concrete
-#       weights provably satisfy min |w != 0| >= max|w| / 16 upgrade to
-#       "i8x3", whose per-weight error bound (2.4e-7 x max|w| per tile) is
-#       then <= split's 3.8e-6 x |w| for every weight: strictly-no-worse
-#       precision at ~25% less MXU time (core.histogram does the check).
-#   "split": two bf16 parts hi+lo per weight (~17 mantissa bits, RELATIVE
-#       ~3.8e-6 error per weight); two bf16 matmuls ≈ 2x unweighted cost.
+#   "split" (default): two bf16 parts hi+lo per weight (~17 mantissa bits,
+#       RELATIVE ~3.8e-6 error per weight); two bf16 matmuls ≈ 2x
+#       unweighted cost. Measured r3: 83% of its own 2-section MXU roof.
 #   "i8x3": three per-tile-scaled int8 limbs w ≈ s(q1 + q2/128 + q3/2^14);
 #       all three matmuls at the int8 MXU rate (2x bf16) with exact int32
 #       accumulation ⇒ 1.5 bf16-section-equivalents. Error is ABSOLUTE:
-#       <= s/2^15 ≈ 2.4e-7 x the tile's max |weight| per weight.
-#   "i8": two int8 limbs (fastest; ~3e-5 x max|tile weight| — opt-in).
+#       <= s/2^15 ≈ 2.4e-7 x the tile's max |weight| per weight — TIGHTER
+#       than split whenever nonzero weights span <= ~15x. Measured r3 on
+#       the weighted T-S bench: speed-NEUTRAL vs split (the third
+#       quantize-lhs VPU build eats the 25% MXU saving), so it is a
+#       precision option, not a speed one.
+#   "i8": two int8 limbs (fastest, ~+20%; ~3e-5 x max|tile weight| —
+#       opt-in lossy).
 #   "highest": full-f32 MXU passes + Kahan (exact, ~5x unweighted cost).
 # The resolved mode is threaded through the kernel stack as a static
 # argument (one jit trace per mode — module globals are NOT part of the
 # jit key, so per-call selection must not mutate them).
-_WEIGHTED_MODE = _os.environ.get("XHIST_WEIGHTED_PRECISION", "auto")
-_WEIGHTED_MODES = ("auto", "split", "highest", "i8", "i8x3")
+_WEIGHTED_MODE = _os.environ.get("XHIST_WEIGHTED_PRECISION", "split")
+_WEIGHTED_MODES = ("split", "highest", "i8", "i8x3")
 if _WEIGHTED_MODE not in _WEIGHTED_MODES:
     raise ValueError(
         f"XHIST_WEIGHTED_PRECISION={_WEIGHTED_MODE!r}: valid values are "
@@ -150,12 +151,9 @@ if _WEIGHTED_MODE not in _WEIGHTED_MODES:
 
 
 def _resolve_wmode(wmode):
-    """Resolve a per-call mode request against the env default. ``None``
-    means 'no caller preference': the env mode, with 'auto' falling back to
-    split (the upgrade decision needs concrete weights — core.histogram
-    passes an explicit mode when it can make it)."""
-    m = wmode or _WEIGHTED_MODE
-    return "split" if m == "auto" else m
+    """Resolve a per-call mode request against the env default (``None``
+    = no caller preference)."""
+    return wmode or _WEIGHTED_MODE
 
 
 def _weight_rhs_dtype(wmode):
@@ -207,12 +205,15 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None):
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
     # The n1-chunked factored kernel handles any grid; the cap is where the
-    # O(slots)/element MXU work approaches the XLA-sort fallback (measured
-    # r2, scripts/cliff_perf.py: factored is 4x sort at 4.2M slots and
-    # still 2x at 16.8M — crossover ~32M, cap at 2^24). The edge cap bounds
-    # the O(Σ n_edges) VPU digitize (fori-loop body, flat compile time;
-    # measured 40x sort at 4k edges, 4.7x at 32k — the cap).
-    slot_cap = (1 << 22) if weighted else (1 << 24)  # weighted: 2 sections
+    # O(slots)/element MXU work approaches the XLA-sort fallback. Measured:
+    # unweighted crossover ~32M slots (r2 scripts/cliff_perf.py: 4.9x sort
+    # at 4.2M, 2.3x at 16.8M) — cap 2^25 ≈ the crossover; weighted (r3
+    # scripts/r3_caps.py): 5.6x sort at 4.2M, 4.1x at 8.4M, and the sort
+    # fallback CRASHES the TPU runtime at 16.8M where fused still runs —
+    # cap 2^24. The edge cap bounds the O(Σ n_edges) VPU digitize
+    # (fori-loop body, flat compile time; measured 40x sort at 4k edges,
+    # 4.7x at 32k — the cap).
+    slot_cap = (1 << 24) if weighted else (1 << 25)
     edges_ok = sum(nbins) + n_inputs <= _MAX_EDGES
 
     if m == 1:
@@ -327,6 +328,28 @@ def _pad2d(x, rows, cols):
     if rows == 0 and cols == 0:
         return x
     return jnp.pad(x, ((0, rows), (0, cols)))
+
+
+# Ragged input blocks: Pallas TPU tolerates input array dims that are NOT
+# multiples of the block shape (boundary blocks read padding garbage, which
+# every kernel here already excludes via its in-bounds masks / trash-slot
+# routing). Skipping the tail pad avoids a FULL-ARRAY jnp.pad copy on every
+# non-tile-aligned operand — the r2 roofline's (8, 125e6) one_input config
+# lost ~40% to exactly that hidden 4 GB copy. Chip-validated
+# (scripts/ragged_probe.py); XHIST_RAGGED_INPUTS=0 restores eager padding.
+_RAGGED_INPUTS = _os.environ.get("XHIST_RAGGED_INPUTS", "1") == "1"
+
+
+def _pad_operand(x, rows, cols):
+    """Pad a DATA operand up to tile multiples — or don't (ragged mode):
+    the grid/index maps already cover the padded extent and the kernels
+    route boundary garbage to masked/trash positions. WEIGHTS are always
+    zero-padded instead (``_pad2d``): ragged garbage weights would poison
+    real slots via NaN x one-hot products in assume-finite mode and would
+    inflate the per-tile int8 quantization scale in the i8/i8x3 modes."""
+    if _RAGGED_INPUTS:
+        return x
+    return _pad2d(x, rows, cols)
 
 
 def _fold_factor(m, c, force_full=False):
@@ -755,7 +778,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all, wmode="split"):
             tc //= 2  # don't pad columns beyond the (folded) row width
     m_pad = _round_up(max(m_syn, 1), tm)
     c_pad = _round_up(max(c_syn, 1), tc)
-    a2d = _pad2d(a2d, m_pad - m_syn, c_pad - c_syn)
+    a2d = _pad_operand(a2d, m_pad - m_syn, c_pad - c_syn)
     weighted = weighted_mode
     if weighted:
         w2d = _pad2d(w2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
@@ -1014,13 +1037,13 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins, wmode="split"):
     c_pad = _round_up(max(c_syn, 1), tc)
 
     def padded(x):
-        return _pad2d(x, m_pad - m_syn, c_pad - c_syn)
+        return _pad_operand(x, m_pad - m_syn, c_pad - c_syn)
 
     a2d = padded(a2d)
     b2d = padded(b2d)
     weighted = w2d is not None
     if weighted:
-        w = padded(w2d.astype(jnp.float32))
+        w = _pad2d(w2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
     else:
         w = jnp.zeros((tm, tc), jnp.float32)
 
@@ -1090,7 +1113,7 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins, wmode="split"):
 
 def _factored_kernel(
     *refs, n_inputs, nbins, f, m_true, c_syn, c_real, n1c, log2_n2, weighted,
-    per_row, faithful, wmode="split", rpt=1,
+    per_row, faithful, wmode="split", rpt=1, bpt=1,
 ):
     """Digitize → flat joint slot id g → split into integer sub-indices
     (g1, g2) = (g >> log2_n2, g & (n2-1)) → equality one-hots → one matmul
@@ -1134,6 +1157,54 @@ def _factored_kernel(
     tm, tc = data_refs[0].shape
     e_elems = tm * tc
     n2 = 1 << log2_n2
+
+    if bpt > 1:
+        # Packed batching: bpt row-blocks per grid step, each keeping its
+        # OWN stacked slot space and its own output rows — the narrow-c
+        # packed regime is fixed-grid-step-overhead bound (~5 us/step
+        # measured r3), so fewer, fatter steps amortize it. Wrapper
+        # guarantees: per_row grid, unweighted, f == 1, n_chunks == 1.
+        tm_sub = tm // bpt
+        e_sub = tm_sub * tc
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_sub), 1)
+        local_row = e_ids // tc
+        local_col = e_ids - local_row * tc
+        cols = j * tc + local_col
+        oh_dt, acc_dt = _onehot_dtypes()
+        r1 = jax.lax.broadcasted_iota(jnp.int32, (n1c, 1), 0)
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
+        n_real = math.prod(nbins)
+
+        @pl.when(j == 0)
+        def _init_batched():
+            for r in o_refs:
+                r[...] = jnp.zeros_like(r)
+
+        for b in range(bpt):
+            row0 = i * tm + b * tm_sub
+            valid = (row0 + local_row < m_true) & (cols < c_real)
+            g = None
+            for k in range(n_inputs):
+                a = data_refs[k][b * tm_sub : (b + 1) * tm_sub, :]
+                idx = _digitize_tile(a, edge_refs[k])
+                t = (idx - 1).reshape(1, e_sub)
+                okt = (t >= 0) & (t <= nbins[k] - 1)
+                valid = valid & okt
+                t = jnp.clip(t, 0, nbins[k] - 1)
+                g = t if g is None else g * nbins[k] + t
+            g = jnp.where(valid, g, n_real)
+            if rpt > 1:
+                g = g + local_row * (n_real + 1)  # f == 1: one row/sublane
+            A2 = (r2 == (g & (n2 - 1))).astype(oh_dt)
+            counts = jax.lax.dot_general(
+                (r1 == (g >> log2_n2)).astype(oh_dt), A2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )
+            o_refs[0][b * n1c : (b + 1) * n1c, :] += counts.astype(
+                o_refs[0].dtype
+            )
+        return
 
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (1, e_elems), 1)
     local_row = e_ids // tc
@@ -1295,18 +1366,34 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         while tc > _LANE and tc >= 2 * max(c_syn, 1):
             tc //= 2
 
-    m_pad = _round_up(max(m_syn, 1), tm)
+    # Packed batching: bpt row-blocks per grid step, each with its own
+    # stacked slot space + output rows. The narrow-c packed regime is
+    # fixed-per-grid-step-overhead bound (~5 us/step measured r3, tiny-slot
+    # probe) — fewer, fatter steps amortize it; MACs/element unchanged
+    # (each sub-block runs its own small dot). Unweighted per_row only
+    # (weighted outputs interleave kahan/channel refs), one n-chunk, no
+    # row folding.
+    bpt = 1
+    if packed and not weighted and f == 1 and n_chunks == 1:
+        bpt = max(1, int(_os.environ.get("XHIST_PACKED_BATCH", "8")))
+        bpt = min(bpt, max(1, -(-m_syn // tm)))  # no all-padding sub-blocks
+
+    tm_io = tm * bpt  # data-tile height per grid step
+    m_pad = _round_up(max(m_syn, 1), tm_io)
     c_pad = _round_up(max(c_syn, 1), tc)
-    padded = [_pad2d(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d]
+    padded = [
+        _pad_operand(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d
+    ]
     if weighted:
-        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
+        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn,
+                   c_pad - c_syn)
 
     edge_ops = [_edges_col(e, pad_to=_DIG_CHUNK)[0] for e in edges]
 
     # grid order must keep each output block's visits consecutive (see the
     # kernel docstring): per_row → (i, n, j); reduce-all → (n, i, j)
     if per_row:
-        grid = (m_pad // tm, n_chunks, c_pad // tc)
+        grid = (m_pad // tm_io, n_chunks, c_pad // tc)
         fixed = lambda i, n, j: (0, 0)
         moving = lambda i, n, j: (i, j)
         # one (n1_pad, n2) output group per real row; with force_full
@@ -1314,25 +1401,29 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         out_rows_total = (m_pad // tm) * n1_pad
         out_index = lambda i, n, j: (i * n_chunks + n, 0)
     else:
-        grid = (n_chunks, m_pad // tm, c_pad // tc)
+        grid = (n_chunks, m_pad // tm_io, c_pad // tc)
         fixed = lambda n, i, j: (0, 0)
         moving = lambda n, i, j: (i, j)
         out_rows_total = n1_pad
         out_index = lambda n, i, j: (n, 0)
 
     in_specs = [
-        pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm_io, tc), moving, memory_space=pltpu.VMEM)
         for _ in range(n_inputs)
     ]
     operands = list(padded)
     if weighted:
-        in_specs.append(pl.BlockSpec((tm, tc), moving, memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((tm_io, tc), moving, memory_space=pltpu.VMEM)
+        )
         operands.append(w)
     for col in edge_ops:
         in_specs.append(pl.BlockSpec(col.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(col)
 
-    out_spec = pl.BlockSpec((n1c, n2), out_index, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bpt * n1c, n2), out_index, memory_space=pltpu.VMEM
+    )
 
     results = pl.pallas_call(
         partial(
@@ -1350,6 +1441,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
             faithful=faithful,
             wmode=wmode,
             rpt=rpt,
+            bpt=bpt,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1513,10 +1605,11 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins, wmode="split"):
     out_dtype = jnp.int32 if not weighted else jnp.float32
 
     padded = [
-        _pad2d(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d
+        _pad_operand(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d
     ]
     if weighted:
-        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
+        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn,
+                   c_pad - c_syn)
 
     edge_ops = []
     for e in edges:
