@@ -323,3 +323,69 @@ def bin_areas(edges_list):
     for w in widths[1:]:
         area = area[..., None] * w
     return area
+
+
+def uniform_arith_form(thresholds):
+    """``(t0, d)`` when the comparison thresholds admit an EXACT arithmetic
+    reconstruction ``T[k] == f32(k*d + t0)`` with ``k*d`` exactly
+    representable in float32 — the precondition for the kernels' O(1)
+    arithmetic digitize (candidate index + recomputed-threshold window,
+    ops/pallas_hist._digitize_tile_uniform). Returns ``None`` otherwise
+    (the compare-chain digitize runs instead).
+
+    float32 thresholds: the ``k*d``-exact requirement makes the
+    reconstruction independent of FMA contraction (the product needs no
+    rounding, so fused and unfused mul+add both round once) — Mosaic does
+    not contract the expression but the CPU Pallas interpreter does
+    (scripts/uniform_arith_probe.py); this condition is safe on both. It
+    holds for integer-width and power-of-two-width uniform grids (d with
+    few mantissa bits); irrational-step linspaces fall back. The threshold
+    rounding must also stay well under the spacing (``ulp(max|T|) <= d/4``)
+    so the kernel's ±2 candidate window is provably sufficient.
+
+    integer thresholds (int data / host rank codes): exact uniformity in
+    integer arithmetic plus ``|T| < 2^23`` (every threshold AND every
+    nearby data value is exactly float32-representable, so the kernel's
+    int→f32 cast cannot move a value across a threshold; far values round
+    but cannot re-cross — see the design note in ops/pallas_hist).
+    """
+    T = np.asarray(thresholds)
+    n = T.shape[0]
+    # The half-open transform nudges the LAST threshold off the grid
+    # (closed last bin), so the uniform model covers T[:-1] and the kernel
+    # compares the final threshold explicitly as a scalar. Returns
+    # (t0, d, t_last).
+    if n < 3:
+        return None
+    U, t_last = T[:-1], float(T[-1])
+    nu = n - 1
+    if np.issubdtype(T.dtype, np.integer):
+        U64 = U.astype(np.int64)
+        diffs = np.diff(U64)
+        if diffs.size == 0 or not np.all(diffs == diffs[0]) or diffs[0] <= 0:
+            return None
+        if max(abs(int(T64v)) for T64v in (U64[0], U64[-1], int(T[-1]))) >= 2**23:
+            return None
+        return float(U64[0]), float(diffs[0]), t_last
+    if T.dtype != np.float32:
+        return None
+    if not np.all(np.isfinite(T)):
+        return None
+    t0 = np.float64(U[0])
+    d = np.float32(np.float64(U[1]) - t0)
+    if not np.isfinite(d) or d <= 0:
+        return None
+    k = np.arange(nu, dtype=np.float64)
+    kf = k.astype(np.float32).astype(np.float64)
+    if not np.array_equal(kf, k):
+        return None  # k itself not f32-exact (cannot happen under edge cap)
+    p = kf * np.float64(d)
+    if not np.array_equal(p.astype(np.float32).astype(np.float64), p):
+        return None  # k*d rounds in f32 → FMA-dependent reconstruction
+    model = (p + t0).astype(np.float32)
+    if not np.array_equal(model, U):
+        return None
+    max_abs = float(max(abs(U[0]), abs(U[-1])))
+    if np.spacing(np.float32(max_abs)) > d / 4:
+        return None
+    return float(U[0]), float(d), t_last

@@ -25,6 +25,7 @@ core.py:363); density results are floating.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
@@ -198,13 +199,15 @@ def _prepare_device(args, edges_np):
     All per-input decisions come from ``device_view``/``ftz_exact_fallback``
     (the single policy the labeled cache also consumes).
 
-    Returns ``(args, device_edges, n_hi_clips)`` — edges already in
-    comparison form plus one static hi-clip count per input for the digitize
-    (see ops.digitize.digitize_edges).
+    Returns ``(args, device_edges, n_hi_clips, uniforms)`` — edges already
+    in comparison form, one static hi-clip count per input for the digitize
+    (see ops.digitize.digitize_edges), and the per-input uniform-spacing
+    certificate for the arithmetic digitize (or None).
     """
     args = list(args)
     edges_dev = []
     n_his = []
+    uniforms = []
     for i, (a, e) in enumerate(zip(args, edges_np)):
         v = device_view(a)
         if v is None or ftz_exact_fallback(v, e):
@@ -215,7 +218,15 @@ def _prepare_device(args, edges_np):
             ce = _bins_mod.compare_form(e, _device_dtype(v))
         edges_dev.append(jnp.asarray(ce.edges))
         n_his.append(int(ce.n_hi_clip))
-    return args, tuple(edges_dev), tuple(n_his)
+        # host-verified uniform spacing unlocks the kernels' O(1)
+        # arithmetic digitize (bins.uniform_arith_form; None = fall back
+        # to the compare chain; XHIST_UNIFORM_DIGITIZE=0 disables for A/B)
+        uniforms.append(
+            _bins_mod.uniform_arith_form(np.asarray(ce.edges))
+            if _os.environ.get("XHIST_UNIFORM_DIGITIZE", "1") == "1"
+            else None
+        )
+    return args, tuple(edges_dev), tuple(n_his), tuple(uniforms)
 
 
 @partial(
@@ -231,6 +242,7 @@ def _prepare_device(args, edges_np):
         "wide_limit",
         "pair_bits",
         "weighted_mode",
+        "uniform",
     ),
 )
 def _histogram_impl(
@@ -249,6 +261,7 @@ def _histogram_impl(
     wide_limit=None,
     pair_bits=32,
     weighted_mode=None,
+    uniform=None,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -303,6 +316,7 @@ def _histogram_impl(
                     weighted=has_weights,
                     c=c_eff,
                     weights_dtype=weights_2d.dtype if has_weights else None,
+                    uniform=uniform,
                 )
             ):
                 mth = "pallas"
@@ -323,12 +337,12 @@ def _histogram_impl(
                 if nat_views is not None:
                     counts = pallas_histogram2d(
                         nat_views, edges, nat_w, nbins, reduce_all=True,
-                        weighted_mode=weighted_mode,
+                        weighted_mode=weighted_mode, uniform=uniform,
                     )
                 else:
                     counts = pallas_histogram2d(
                         parts_2d, edges, w_2d, nbins,
-                        weighted_mode=weighted_mode,
+                        weighted_mode=weighted_mode, uniform=uniform,
                     )
             if int_weights:
                 # restore the 'weighted counts take the weights dtype'
@@ -477,7 +491,7 @@ def histogram(
     # Exact device representation: wide numpy inputs remapped to rank codes,
     # edges transformed to exact comparison form per input (datetime support;
     # JAX has no 64-bit path here under default TPU config).
-    args, edges_dev, n_hi_clip = _prepare_device(args, edges_np)
+    args, edges_dev, n_hi_clip, uniform = _prepare_device(args, edges_np)
 
     # Broadcast all inputs (+ weights) to one shape — reference core.py:366.
     to_bcast = list(args) + ([weights] if weights is not None else [])
@@ -545,6 +559,7 @@ def histogram(
         wide_limit=wide_limit,
         pair_bits=_PAIR_BITS,
         weighted_mode=weighted_mode,
+        uniform=uniform,
     )
     if wide_limit is not None:
         hi, lo = h

@@ -94,7 +94,7 @@ def histogram_sharded(
 
     # Exact device representation (wide-numpy remap + comparison-form edges;
     # same host prep as the core path).
-    args, edges_dev, n_hi_clip = _prepare_device(args, edges_np)
+    args, edges_dev, n_hi_clip, uniform = _prepare_device(args, edges_np)
     arrays = [jnp.asarray(a) for a in args]
     shape = arrays[0].shape
     for a in arrays[1:]:
@@ -148,6 +148,7 @@ def histogram_sharded(
         has_weights=weights is not None,
         psum_axes=psum_axes,
         n_hi_clip=n_hi_clip,
+        uniform=uniform,
     )
 
     if density:
@@ -176,6 +177,7 @@ def histogram_sharded(
         "has_weights",
         "psum_axes",
         "n_hi_clip",
+        "uniform",
     ),
 )
 def _sharded_impl(
@@ -193,6 +195,7 @@ def _sharded_impl(
     has_weights,
     psum_axes,
     n_hi_clip=None,
+    uniform=None,
 ):
     """Module-level jitted shard_map program (cached across calls; Mesh and
     PartitionSpec are hashable statics). Local reduced-axis ids are unchanged
@@ -230,6 +233,7 @@ def _sharded_impl(
             block_size=block_size,
             has_weights=has_weights,
             n_hi_clip=n_hi_clip,
+            uniform=uniform,
         )
         if psum_axes:
             counts = jax.lax.psum(counts, psum_axes)
