@@ -68,9 +68,12 @@ def run(name, nbins, m, c, n_inputs, weighted, macs_per_elem, vpu_per_elem,
         method="pallas", axis=(1,), mxu_rate=1.0):
     # mxu_rate=2.0 for unweighted int8-one-hot matmul rows (v5e int8 MACs
     # run at 2x the bf16 rate)
-    eds = tuple(
-        edges_dev(np.linspace(-4, 4, nb + 1)) for nb in nbins
-    )
+    eds_np = [
+        bins_mod.edges_for_compare(np.linspace(-4, 4, nb + 1), np.float32)
+        for nb in nbins
+    ]
+    eds = tuple(jnp.asarray(e) for e in eds_np)
+    uniform = tuple(bins_mod.uniform_arith_form(e) for e in eds_np)
     elems = m * c
     n_arrays = n_inputs + (1 if weighted else 0)
     nbytes = elems * 4 * n_arrays
@@ -87,6 +90,7 @@ def run(name, nbins, m, c, n_inputs, weighted, macs_per_elem, vpu_per_elem,
         h = _histogram_impl(
             arrs, w, eds, axis=axis, nbins=nbins, density=False,
             method=method, block_size="auto", has_weights=weighted,
+            uniform=uniform,
         )
         return jnp.sum(h.astype(jnp.float32))
 

@@ -228,11 +228,21 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     )
     edges_ok = eff_edges <= _MAX_EDGES
 
+    uni0 = (
+        uniform is not None and len(uniform) > 0 and uniform[0] is not None
+    )
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
         # to the slot cap, as long as the per-element digitize cost
-        # (Σ n_edges compares on the VPU) stays sane
-        if n_inputs == 1 and nbins[0] <= 1024:
+        # (Σ n_edges compares on the VPU) stays sane. Uniform-certified
+        # single inputs beyond 64 bins run the factored kernel with the
+        # arithmetic digitize instead — its VPU cost is ~25 + (n1+n2)·2.5
+        # ops/element vs one_input's 2·nbins (measured: 40.5 vs 27.7 GB/s
+        # at 128 bins, 32.4 vs 5.3 at 1024 — r3_uniform_oneinput.py; tie
+        # at 64).
+        if n_inputs == 1 and nbins[0] <= 1024 and not (
+            uni0 and nbins[0] > 64
+        ):
             return "one_input"
         if n_slots > slot_cap or not edges_ok:
             return None
@@ -253,7 +263,7 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     padded_slots = max(n1 << log2_n2, _round_up(n_slots, 1024))
     if m * padded_slots * n_outs > (1 << 28):
         return None
-    if n_inputs == 1 and nbins[0] <= 1024:
+    if n_inputs == 1 and nbins[0] <= 1024 and not (uni0 and nbins[0] > 64):
         return "one_input"
     # per-row factored beats direct at every measured grid size (direct's G
     # build costs O(n_slots) VPU ops/element and its matmul O(tm·n_slots)
@@ -1378,12 +1388,19 @@ def _pick_factorization(n_slots):
     if force is not None:
         k = int(force)
         return _round_up(-(-n_slots // (1 << k)), _SUB), k
-    lo = int(_os.environ.get("XHIST_MIN_LOG2N2", 7))
+    lo = int(_os.environ.get("XHIST_MIN_LOG2N2", 3))
     best = None
     for log2_n2 in range(lo, max(lo + 1, n_slots.bit_length() + 1)):
         n2 = 1 << log2_n2
         n1 = _round_up(-(-n_slots // n2), _SUB)
-        key = (n1 * n2, n1 + n2)
+        # per-element cost model (ps): MXU n1·n2 int8 MACs at 197 TMAC/s
+        # + VPU ~2.5 ops per equality row at ~3.9 Tops/s. The r2 pick
+        # (lexicographic min n1·n2) forced n2 >= 128 and over-weighted the
+        # MXU for small slot spaces; the scored pick chooses e.g. (16, 16)
+        # for 129 slots — measured 40.5 vs 25-ish GB/s at 128 uniform bins
+        # (scripts/r3_uniform_oneinput.py; small-n2 out blocks lower fine,
+        # Mosaic masks the lanes).
+        key = 0.00508 * (n1 * n2) + 0.65 * (n1 + n2)
         if best is None or key < best[0]:
             best = (key, n1, log2_n2)
     return best[1], best[2]
