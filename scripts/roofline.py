@@ -128,8 +128,11 @@ if __name__ == "__main__":
     # one_input: 64 bins; cum rows 72 pad → MACs 8·72, VPU ≈ 2·72 + ~20
     run("one_input 64b full-reduce", (64,), 1024, 1 << 20, 1, False,
         8 * 72, 2 * 72 + 20, axis=None)
-    run("one_input 128b full-reduce", (128,), 1024, 1 << 20, 1, False,
-        8 * 136, 2 * 136 + 20, axis=None)
+    # 128b UNIFORM bins route to factored+arith-digitize (r3): scored
+    # factorization picks (16, 16); VPU ≈ 25 (digitize) + 2.5·32 (equality)
+    run("one_input->factored 128b uniform full-reduce", (128,), 1024,
+        1 << 20, 1, False, 16 * 16, 25 + 2.5 * 32 + 20, axis=None,
+        mxu_rate=2.0)
     # joint2 bench config: MACs (288·344), VPU ≈ 2·(288+344)
     run("joint2 280x340 full-reduce", (280, 340), 1024, 1 << 19, 2, False,
         288 * 344, 2 * (288 + 344) + 20, axis=None, mxu_rate=2.0)
@@ -150,6 +153,7 @@ if __name__ == "__main__":
     # VPU ≈ 3·1664 (G build) + digitize 82
     run("direct m=1000 c=64 40x40", (40, 40), 1000, 64, 2, False,
         8 * 1664, 3 * 1664 + 164, axis=(1,))
-    # fori digitize, 16384 bins 1 input: VPU = 2·16392 compare+add
-    run("factored 16384 bins (fori digitize)", (16384,), 1024, 6144, 1,
-        False, 2 * 16512 / 8, 2 * 16512, axis=None)
+    # 16384 UNIFORM bins: arithmetic digitize; scored pick (128, 128)
+    run("factored 16384b uniform (arith digitize)", (16384,), 1024,
+        49152, 1, False, 16384, 25 + 2.5 * 256 + 20, axis=None,
+        mxu_rate=2.0)
