@@ -123,3 +123,25 @@ def test_float_data_exact(problem):
     if edges[0] == edges[-1]:
         edges = np.concatenate([edges[:1], [edges[-1] + 1.0]])
     _np_parity(data, edges)
+
+
+@given(
+    st.integers(min_value=-3, max_value=3),
+    st.sampled_from([0.125, 0.25, 0.5, 1.0, 2.0]),
+    st.integers(min_value=66, max_value=300),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_uniform_certified_grids_bit_exact(t0i, d, nb, seed):
+    """Certified-uniform grids (pow-2 / integer spacing) through the
+    arithmetic-digitize route must stay bit-exact vs numpy, including
+    boundary-straddling values."""
+    edges = t0i + d * np.arange(nb + 1)
+    rng = np.random.RandomState(seed)
+    data = np.concatenate([
+        edges.astype("f4").astype("f8"),
+        rng.uniform(edges[0] - d, edges[-1] + d, 400),
+    ]).astype("f4")
+    h, _ = histogram(data, bins=edges, method="pallas")
+    expected = np.histogram(data.astype("f8"), bins=edges)[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)

@@ -263,7 +263,12 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     padded_slots = max(n1 << log2_n2, _round_up(n_slots, 1024))
     if m * padded_slots * n_outs > (1 << 28):
         return None
-    if n_inputs == 1 and nbins[0] <= 1024 and not (uni0 and nbins[0] > 64):
+    # kept rows: the uniform carve-out only pays when the fallback is the
+    # per-row factored kernel (wide reduce axis) — narrow-c shapes would
+    # land on the slower packed kernel, where one_input still wins
+    if n_inputs == 1 and nbins[0] <= 1024 and not (
+        uni0 and nbins[0] > 64 and (c is None or c >= 256)
+    ):
         return "one_input"
     # per-row factored beats direct at every measured grid size (direct's G
     # build costs O(n_slots) VPU ops/element and its matmul O(tm·n_slots)
