@@ -285,3 +285,28 @@ def test_gspmd_mismatch_resharded_on_device():
     expected = np.histogram(data.astype("f8"), bins=bins,
                             weights=w.astype("f8"))[0]
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+def test_sharded_uniform_certified_bins():
+    """The uniform-digitize certificate flows through histogram_sharded's
+    static args into the shard_map'd kernels (r3): certified many-bin
+    grids must stay exact across the mesh."""
+    rng = np.random.RandomState(30)
+    data = rng.rand(8, 4096).astype("f4")
+    edges = np.linspace(0, 1, 4097)  # d = 2^-12: certified
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        data, mesh=mesh, in_spec=P("x", "y"), bins=edges, method="pallas"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h), np.histogram(data.astype("f8"), bins=edges)[0]
+    )
+    # kept axis sharded + reduced axis psum, uniform certified
+    h, _ = histogram_sharded(
+        data, mesh=mesh, in_spec=P("x", "y"), bins=edges, axis=(1,),
+        method="pallas",
+    )
+    exp = np.stack(
+        [np.histogram(r.astype("f8"), bins=edges)[0] for r in data]
+    )
+    np.testing.assert_array_equal(np.asarray(h), exp)
