@@ -146,6 +146,78 @@ def test_negative_subnormal_data_vs_zero_edge():
         )
 
 
+DS_EDGE_SETS = [
+    np.linspace(0, 1, 1001),       # d = 1e-3: not f32-exact -> DS tier
+    np.linspace(0, 7, 401),        # 13 certified exceptions
+    np.linspace(-4, 4, 601),       # 1 exception, zero-crossing grid
+    np.linspace(-33, 91, 1001),    # 4 exceptions, asymmetric range
+    np.arange(0, 800) * 0.1,       # accumulated-rounding "uniform" grid
+]
+DS_IDS = ["d1e-3", "exc13", "exc1-zero", "exc4-wide", "arange0.1"]
+
+
+def test_ds_form_accepts_generic_linspace():
+    """Generic (non-power-of-two-spacing) uniform grids certify via the
+    double-single tier that the exact arithmetic form rejects."""
+    for e in DS_EDGE_SETS:
+        T = np.asarray(bins_mod.compare_form(e, np.float32).edges)
+        assert bins_mod.uniform_arith_form(T) is None
+        f = bins_mod.uniform_form(T, e)
+        assert f is not None and f[0] == "ds", e[:3]
+    # below the size floor the compare chain is cheaper: no certificate
+    small = np.linspace(0, 1, 11)
+    Ts = np.asarray(bins_mod.compare_form(small, np.float32).edges)
+    assert bins_mod.uniform_form(Ts, small) is None
+
+
+@pytest.mark.parametrize("edges", DS_EDGE_SETS, ids=DS_IDS)
+def test_ds_boundary_values_bit_exact(edges):
+    """Every threshold, its one-ulp f32 neighbors, random data, and
+    NaN/inf must bin identically to numpy through the pallas factored
+    kernel running the double-single digitize (>256 bins reduce-all
+    routes there; includes grids with certified exception lists)."""
+    e32 = edges.astype("f4").astype("f8")
+    vals = np.concatenate([
+        e32, np.nextafter(e32.astype("f4"), np.inf).astype("f8"),
+        np.nextafter(e32.astype("f4"), -np.inf).astype("f8"),
+        np.random.RandomState(0).uniform(edges[0] - 1, edges[-1] + 1, 500),
+        [np.nan, np.inf, -np.inf],
+    ]).astype("f4")
+    data = vals.reshape(1, -1)
+    from xhistogram_tpu.ops import pallas_hist as ph
+    T = np.asarray(bins_mod.compare_form(edges, np.float32).edges)
+    form = bins_mod.uniform_form(T, edges)
+    assert ph.plan(1, (edges.size - 1,), 1, uniform=(form,)) == "factored"
+    h, _ = histogram(data, bins=edges, method="pallas")
+    exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
+    np.testing.assert_array_equal(np.asarray(h), exp)
+
+
+def test_ds_vs_fallback_identical(monkeypatch):
+    rng = np.random.RandomState(7)
+    edges = np.linspace(0, 7, 401)
+    data = rng.uniform(-0.5, 7.5, (3, 900)).astype("f4")
+    h1, _ = histogram(data, bins=edges, axis=1, method="pallas")
+    monkeypatch.setenv("XHIST_UNIFORM_DIGITIZE", "0")
+    h0, _ = histogram(data, bins=edges, axis=1, method="pallas")
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h0))
+
+
+def test_ds_weighted_kept_rows():
+    """DS digitize through the per-row factored weighted kernel."""
+    rng = np.random.RandomState(8)
+    edges = np.linspace(-4, 4, 601)
+    data = rng.uniform(-4.5, 4.5, (4, 2048)).astype("f4")
+    w = rng.rand(4, 2048).astype("f4")
+    h, _ = histogram(data, bins=edges, axis=1, weights=w, method="pallas")
+    exp = np.stack([
+        np.histogram(np.asarray(r, "f8"), bins=edges,
+                     weights=np.asarray(wr, "f8"))[0]
+        for r, wr in zip(data, w)
+    ])
+    np.testing.assert_allclose(np.asarray(h), exp, rtol=1e-4, atol=1e-5)
+
+
 def test_uniform_lifts_edge_cap():
     """Uniform-certified inputs don't count against the fused path's edge
     cap (the O(edges) digitize cost they'd bound is gone): a 65k-bin

@@ -389,3 +389,297 @@ def uniform_arith_form(thresholds):
     if np.spacing(np.float32(max_abs)) > d / 4:
         return None
     return float(U[0]), float(d), t_last
+
+
+# ---------------------------------------------------------------------------
+# Double-single uniform certificate (generic linspace grids)
+# ---------------------------------------------------------------------------
+#
+# The exact form above requires k*d to round to itself in float32, which
+# holds for integer-width / power-of-two-width grids only.  Generic uniform
+# grids (np.linspace(-4, 4, 91)-style — the most common user bins) fail it
+# and would fall back to the O(n_edges) compare chain.  The DS form below
+# certifies them instead: the kernel recomputes each window threshold with
+# double-single arithmetic against the ORIGINAL float64 edges — t0 and the
+# spacing each carried as hi+lo f32 pairs, split products that are EXACT in
+# f32, an exact TwoSum absorbing cancellation — reconstructing the f64 edge
+# to ~2^-45 relative before the final f32 rounding, whose Fast2Sum residual
+# sign supplies the ROUNDUP direction compare_form bakes into the
+# thresholds.  The host verifies the *exact kernel op sequence* against
+# every threshold.  Per-k mismatches (the f64 edge landing within the DS
+# error of an f32 rounding boundary — a handful near the grid's zero
+# crossing) become a static exception list the kernel corrects with two
+# extra scalar compares each, so certification is decided by construction,
+# not by hope.  (Fitting through the f32-ROUNDED endpoints instead — the
+# first attempt — injects ~1-ulp slope error across the grid and mismatches
+# a quarter of the thresholds; the f64 edges are the only sound anchor.)
+
+_DS_MAX_EXC = 16
+_DS_MIN_EDGES = 64  # below this the compare chain is cheaper than ~130 ops
+_DS_FTZ_FLOOR = np.float32(2.0**-120)
+
+
+def _ds_window_model(kk, t0h, t0l, b1, b2, bl1, bl2):
+    """Bit-exact host emulation of the kernel's per-window-index threshold
+    recompute (ops/pallas_hist._digitize_tile_uniform_ds) in strict
+    step-by-step float32.  ``kk`` is an int64 index array.  Returns
+    ``(F0, rho, intermediates)``: the round-nearest f32 threshold, the
+    Fast2Sum residual whose sign directs the comparison (compare_form
+    thresholds are ROUNDUP of the f64 edge for the ``x >= T`` form, so the
+    effective threshold is ``nextup(F0)`` when ``rho > 0``), and every
+    intermediate (for the FTZ-flush guard: the device flushes subnormal
+    VPU results that numpy keeps).
+
+    Exactness notes, mirrored in the kernel:
+      - khi/klo are the 12/12 bit-split of k (< 2^24), so the products
+        khi*b1, khi*b2, klo*b1, klo*b2 are all exact in f32 (12+12-bit
+        mantissas) — FMA contraction cannot change an exact product, so
+        the CPU Pallas interpreter (which contracts) and Mosaic (which
+        does not) agree without barriers;
+      - the four exact products accumulate through an error-free
+        Fast2Sum/TwoSum chain — the dominant part of the value stays in
+        the compensated head ``s4`` and every residual lands in the tail.
+        (Summing c1+c2+p3 directly in the tail — the first attempt — puts
+        the ENTIRE k*b_hi through 4 tail roundings whenever khi == 0,
+        i.e. all k < 4096: ~1.2 ulp model error, a quarter of thresholds
+        mismatched.)  Fast2Sum ordering (|p1| >= |c2|, |s1| >> |c1|,
+        |s2| >> |p3|) holds by the 12-bit-split magnitudes whenever
+        khi != 0 and degenerates to exact-zero cases when khi == 0; the
+        t0h merge uses the full branch-free TwoSum (no ordering);
+      - the k*b_lo correction uses the SAME exact-split trick (bl1/bl2
+        are the host's 12-bit split of the spacing's f64 residual), so
+        every product in the model is exact and no contraction barrier
+        is needed anywhere — XLA CPU strips bitcast round-trips, so a
+        barrier-protected rounding product is NOT reproducible
+        host-side (measured: fma(k, b_lo, tail) flipped integer-valued
+        thresholds by 1 ulp); t0l (the f64 residual of t0) joins the
+        tail, keeping |model - edge64| ~ 2^-46 relative away from the
+        grid's zero crossing;
+      - rho uses the cheap Fast2Sum (no validity precondition needed: a
+        misjudged k becomes a host-detected exception, never silence).
+    """
+    khi = (kk & ~np.int64(0xFFF)).astype(np.float32)
+    klo = (kk & np.int64(0xFFF)).astype(np.float32)
+    p1 = khi * b1
+    c1 = khi * b2
+    c2 = klo * b1
+    p3 = klo * b2
+    q1 = khi * bl1
+    q2 = khi * bl2
+    q3 = klo * bl1
+    q4 = klo * bl2
+    s1 = p1 + c2
+    z1 = s1 - p1
+    r1 = c2 - z1
+    s2 = s1 + c1
+    z2 = s2 - s1
+    r2 = c1 - z2
+    s3 = s2 + p3
+    z3 = s3 - s2
+    r3 = p3 - z3
+    s4 = s3 + t0h
+    bb = s4 - s3
+    e1 = s4 - bb
+    e2 = s3 - e1
+    e3 = t0h - bb
+    r4 = e2 + e3
+    t5 = r1 + r2
+    t6 = t5 + r3
+    t7 = t6 + r4
+    u1 = t7 + q1
+    u2 = u1 + q2
+    u3 = u2 + q3
+    u4 = u3 + q4
+    tail = u4 + t0l
+    F0 = s4 + tail
+    bb2 = F0 - s4
+    rho = tail - bb2
+    inter = (
+        p1, c1, c2, p3, q1, q2, q3, q4, s1, z1, r1, s2, z2, r2, s3, z3,
+        r3, s4, bb, e1, e2, e3, r4, t5, t6, t7, u1, u2, u3, u4, tail,
+        F0, bb2, rho,
+    )
+    return F0, rho, inter
+
+
+_DS_CAND_CLIP = np.float32(1 << 24)  # exact in f32; floor fits int32
+
+
+def _ds_candidate(x32, t0h, inv, D, nu):
+    """Bit-exact host emulation of the kernel's *unclipped* (but
+    float-clamped, integer-corrected) candidate index:
+    floor(clip((x - t0h) * inv, 0, 2^24)) - D.  The INTEGER correction
+    ``D ~ round(t0l * inv)`` matters for grids whose offset dwarfs their
+    width (|t0| >> span): x - t0h is Sterbenz-exact there, but the
+    dropped t0l shifts the candidate by ~t0l/spacing indices —
+    certification-fatal beyond offset/width ~ 2^24/n_edges.  The shift
+    cannot be applied in FLOAT: XLA constant-folds ``(x - t0h) - t0l``
+    to ``x - fl(t0h + t0l)`` == ``x - t0h`` whenever |t0l| < ulp(t0h)/2
+    (measured: the correction silently vanished under jit), and a
+    post-multiply float subtract would FMA-contract.  Integer ops are
+    beyond both rewrites.  t0h is the ROUND-DOWN of the f64 first edge
+    (uniform_ds_form), making t0l >= 0 and hence D >= 0 — a negative D
+    would lift below-grid x to candidate |D|, mid-grid."""
+    y = (x32.astype(np.float32) - t0h) * inv
+    y = np.minimum(np.maximum(y, np.float32(0.0)), _DS_CAND_CLIP)
+    return np.floor(y).astype(np.int64) - D
+
+
+def uniform_ds_form(thresholds, edges64):
+    """Double-single uniform certificate for float32 comparison thresholds
+    the exact form rejects (generic linspace grids).  ``edges64`` is the
+    ORIGINAL (pre-compare_form) edge array — the thresholds are its
+    per-edge ROUNDUP to f32, so the affine model must be anchored to the
+    f64 values; fitting the f32-rounded endpoints injects ~1-ulp slope
+    error across the grid.  Returns ``("ds", t0, t0l, inv, D, b1, b2,
+    bl1, bl2, t_last, exc)`` for ops/pallas_hist._digitize_tile_uniform_ds,
+    or ``None``.  (bl1/bl2: 12-bit split of the spacing's f64 residual —
+    every kernel product is exact, so FMA contraction cannot change it;
+    D: the candidate's integer t0l-correction, see _ds_candidate.)
+
+    The kernel's per-threshold decision is ``[x >= F0] - [x == F0 and
+    rho > 0]`` — i.e. an effective threshold of ``nextup(F0)`` when the
+    Fast2Sum residual says the true edge lies above the round-nearest
+    reconstruction (compare_form thresholds are the ROUNDUP of the f64
+    edge for the ``x >= T`` comparison form).  ``exc`` is a tuple of
+    ``(T_k, F0_k, strict_k)`` triples where the model's effective
+    threshold disagrees with the true T_k; the kernel adds
+    ``[x >= T_k] - model_k(x)`` per triple — the correct global fixup
+    because (a) in-window occurrences cancel the model term exactly and
+    (b) the certified bracketing makes out-of-window model compares equal
+    their assumed constants.
+
+    Host-certified conditions (each exhaustive over every threshold k,
+    emulating the kernel's op sequence bit-for-bit):
+      1. Teff(k) == T[k] outside <= _DS_MAX_EXC exceptions, all finite;
+      2. no nonzero intermediate below 2^-120 (the device flushes
+         subnormal VPU results; numpy does not — such grids fall back),
+         including rho, whose flush would flip strictness;
+      3. window bracketing with +-1 flush slack on the candidate:
+         cand(nextbelow(Teff)) <= k+1 and (k >= 5) cand(Teff) >= k-1, so
+         every threshold outside the clipped +-2 window compares to its
+         assumed value on both backends.
+    """
+    T = np.asarray(thresholds)
+    n = T.shape[0]
+    if T.dtype != np.float32 or n < _DS_MIN_EDGES:
+        return None
+    if not np.all(np.isfinite(T)):
+        return None
+    if edges64 is None:
+        return None
+    E = np.asarray(edges64)
+    if E.shape != (n,):
+        return None
+    if np.issubdtype(E.dtype, np.integer):
+        E = E.astype(np.float64)  # same promotion compare_form applies
+    elif np.issubdtype(E.dtype, np.floating):
+        E = E.astype(np.float64)  # exact for <= f64; wider grids rely on
+        # the exhaustive Teff == T check below to reject any divergence
+    else:
+        return None
+    if not np.all(np.isfinite(E)):
+        return None
+    U, t_last = T[:-1], float(T[-1])
+    nu = n - 1
+    if nu > (1 << 24) - 8:
+        return None  # khi split exactness needs k < 2^24
+    if not np.all(np.diff(E) > 0):
+        return None
+    h64 = (E[nu - 1] - E[0]) / (nu - 1)
+    if not np.isfinite(h64) or not (2.0**-100 < h64 < 2.0**100):
+        return None
+    if not (abs(float(E[0])) < 2.0**100):
+        return None
+    # double-single t0: hi + lo f32 pair carrying the f64 first edge to
+    # ~2^-48 relative.  t0h is the ROUND-DOWN so t0l >= 0 and the
+    # candidate's integer correction D >= 0 (see _ds_candidate)
+    t0h = np.float32(E[0])
+    if float(t0h) > float(E[0]):
+        t0h = np.nextafter(t0h, np.float32(-np.inf))
+    t0l = np.float32(E[0] - np.float64(t0h))
+    if not (0.0 <= float(t0l)) or not np.isfinite(t0l):
+        return None
+    b_hi = np.float32(h64)
+    b_lo = np.float32(h64 - np.float64(b_hi))
+    # 12-bit truncation split of b_hi (host-side Veltkamp): b1 keeps the
+    # top 12 mantissa bits, b2 = b_hi - b1 is exact with <= 12 bits
+    b1 = np.frombuffer(
+        (np.frombuffer(b_hi.tobytes(), dtype=np.uint32)
+         & np.uint32(0xFFFFF000)).tobytes(),
+        dtype=np.float32,
+    )[0]
+    b2 = np.float32(b_hi - b1)
+    # same 12-bit truncation split for the f64 residual of the spacing:
+    # bl1 keeps its top 12 mantissa bits, bl2 the rest — k*b_lo then
+    # decomposes into four EXACT products like k*b_hi does
+    bl1 = np.frombuffer(
+        (np.frombuffer(b_lo.tobytes(), dtype=np.uint32)
+         & np.uint32(0xFFFFF000)).tobytes(),
+        dtype=np.float32,
+    )[0]
+    bl2 = np.float32(b_lo - bl1)
+    inv = np.float32(1.0 / h64)
+    if not np.isfinite(inv) or inv <= 0:
+        return None
+    # integer candidate correction for the dropped t0l (see _ds_candidate)
+    D = int(np.rint(np.float64(t0l) * np.float64(inv)))
+    if not (0 <= D <= (1 << 22)):
+        return None
+    # scalar constants feed VPU multiplies/adds: reject subnormal ones the
+    # device would flush on input
+    for vconst in (float(t0l), float(b2), float(bl1), float(bl2)):
+        if vconst != 0.0 and abs(vconst) < float(_DS_FTZ_FLOOR):
+            return None
+
+    kk = np.arange(nu, dtype=np.int64)
+    F0, rho, inter = _ds_window_model(kk, t0h, t0l, b1, b2, bl1, bl2)
+    if not np.all(np.isfinite(F0)):
+        return None
+    for v in inter:
+        if np.any((v != 0) & (np.abs(v) < _DS_FTZ_FLOOR)):
+            return None  # device would flush a subnormal intermediate
+    strict = rho > 0
+    Teff = np.where(strict, np.nextafter(F0, np.float32(np.inf)), F0)
+    if not np.all(np.isfinite(Teff)):
+        return None
+    bad = np.nonzero(Teff != U)[0]
+    if bad.size > _DS_MAX_EXC:
+        return None
+    # window bracketing with +-1 candidate slack (subnormal flush on the
+    # chip's (x - t0) can move the candidate by one index).  The largest
+    # x the model does NOT count at k is nextbelow(Teff); the smallest it
+    # DOES count is Teff.
+    nb = np.nextafter(Teff, np.float32(-np.inf))
+    if np.any(_ds_candidate(nb, t0h, inv, D, nu) > kk + 1):
+        return None
+    cT = _ds_candidate(Teff, t0h, inv, D, nu)
+    hi = kk >= 5
+    if np.any(cT[hi] < kk[hi] - 1):
+        return None
+    # exception thresholds must be flush-safe as compare operands too
+    for i in bad:
+        for v in (float(U[i]), float(F0[i])):
+            if v != 0.0 and abs(v) < float(_DS_FTZ_FLOOR):
+                return None
+    exc = tuple(
+        (float(U[i]), float(F0[i]), bool(strict[i])) for i in bad
+    )
+    return (
+        "ds", float(t0h), float(t0l), float(inv), int(D), float(b1),
+        float(b2), float(bl1), float(bl2), t_last, exc,
+    )
+
+
+def uniform_form(thresholds, edges64=None):
+    """The kernels' uniform-spacing certificate: the exact arithmetic form
+    when it holds (cheapest kernel, ~25 ops/element), else the
+    double-single form for generic uniform float32 grids (~150 ops/element
+    — still 10-100x cheaper than the compare chain beyond ~256 edges), else
+    ``None`` (compare-chain digitize).  ``edges64``: the original
+    pre-compare_form edge array, required by the DS tier (its model anchors
+    to the f64 edges, not the rounded thresholds)."""
+    form = uniform_arith_form(thresholds)
+    if form is not None:
+        return form
+    return uniform_ds_form(thresholds, edges64)

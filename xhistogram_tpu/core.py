@@ -219,10 +219,12 @@ def _prepare_device(args, edges_np):
         edges_dev.append(jnp.asarray(ce.edges))
         n_his.append(int(ce.n_hi_clip))
         # host-verified uniform spacing unlocks the kernels' O(1)
-        # arithmetic digitize (bins.uniform_arith_form; None = fall back
-        # to the compare chain; XHIST_UNIFORM_DIGITIZE=0 disables for A/B)
+        # arithmetic digitize (bins.uniform_form: exact arithmetic form,
+        # else the double-single form for generic linspace grids; None =
+        # fall back to the compare chain; XHIST_UNIFORM_DIGITIZE=0
+        # disables for A/B)
         uniforms.append(
-            _bins_mod.uniform_arith_form(np.asarray(ce.edges))
+            _bins_mod.uniform_form(np.asarray(ce.edges), np.asarray(e))
             if _os.environ.get("XHIST_UNIFORM_DIGITIZE", "1") == "1"
             else None
         )

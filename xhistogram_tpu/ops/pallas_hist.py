@@ -176,6 +176,7 @@ _JOINT2_ESPLIT = int(_os.environ.get("XHIST_JOINT2_ESPLIT", "16"))
 # via a stacked matmul gated per tile on any(nonfinite) — free on clean
 # data; XHIST_ASSUME_FINITE_WEIGHTS=1 skips it entirely.
 from . import nonfinite as _nonfinite
+from .. import bins as _bins
 
 _ASSUME_FINITE = _nonfinite.ASSUME_FINITE
 _resolve_nonfinite = _nonfinite.resolve
@@ -231,6 +232,12 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     uni0 = (
         uniform is not None and len(uniform) > 0 and uniform[0] is not None
     )
+    # the exact arithmetic form (~25 ops/element) beats one_input's 2/bin
+    # compare chain beyond 64 bins (measured tie at 64); the double-single
+    # form (~130 ops, generic linspace grids) beyond 256
+    uni0_min_bins = (
+        (256 if isinstance(uniform[0][0], str) else 64) if uni0 else 0
+    )
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
         # to the slot cap, as long as the per-element digitize cost
@@ -241,7 +248,7 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
         # at 128 bins, 32.4 vs 5.3 at 1024 — r3_uniform_oneinput.py; tie
         # at 64).
         if n_inputs == 1 and nbins[0] <= 1024 and not (
-            uni0 and nbins[0] > 64
+            uni0 and nbins[0] > uni0_min_bins
         ):
             return "one_input"
         if n_slots > slot_cap or not edges_ok:
@@ -267,7 +274,7 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     # per-row factored kernel (wide reduce axis) — narrow-c shapes would
     # land on the slower packed kernel, where one_input still wins
     if n_inputs == 1 and nbins[0] <= 1024 and not (
-        uni0 and nbins[0] > 64 and (c is None or c >= 256)
+        uni0 and nbins[0] > uni0_min_bins and (c is None or c >= 256)
     ):
         return "one_input"
     # per-row factored beats direct at every measured grid size (direct's G
@@ -691,7 +698,13 @@ def _digitize_tile_uniform(a, t0, d, t_last, ne):
     t0f = jnp.float32(t0)
     df = jnp.float32(d)
     inv = jnp.float32(1.0 / d)
-    kc = jnp.floor((x - t0f) * inv).astype(jnp.int32)
+    # clamp in the FLOAT domain before the int cast: f32->s32 conversion of
+    # values beyond int32 range (|x - t0| >= 2^31 * d, or +-inf) is
+    # backend-defined (saturate vs wrap); the clamp makes the candidate
+    # well-defined everywhere for one extra VPU op (NaN still propagates —
+    # the final x == x select discards it)
+    y = jnp.clip((x - t0f) * inv, jnp.float32(0.0), jnp.float32(nu))
+    kc = jnp.floor(y).astype(jnp.int32)
     if nu >= 5:
         # clamp the candidate so the ±2 window is always in-bounds: the
         # out-of-range cases are decided entirely by the window compares
@@ -715,6 +728,113 @@ def _digitize_tile_uniform(a, t0, d, t_last, ne):
     # NaN: every compare is False but the candidate arithmetic is garbage —
     # force the compare-chain's NaN result (0 → routed to the trash slot)
     return jnp.where(x == x, idx, 0)
+
+
+def _digitize_tile_uniform_ds(a, t0, t0l, inv, D, b1, b2, bl1, bl2,
+                              t_last, exc, ne):
+    """O(1)-in-edge-count digitize for GENERIC uniform float32 threshold
+    grids (bins.uniform_ds_form — e.g. np.linspace(-4, 4, 91)-scale grids
+    whose spacing is not exactly representable, which the exact-form kernel
+    above rejects). Same candidate + clamped ±2 window structure, but each
+    window threshold is recomputed in double-single arithmetic:
+
+      k = khi + klo (12/12 bit split) makes khi*b1, khi*b2, klo*b1, klo*b2
+      all EXACT f32 products (b1/b2 are the host's 12-bit split of the
+      f32 spacing; bl1/bl2 the same split of its f64 residual — EVERY
+      product in the model is exact, so XLA-CPU FMA contraction cannot
+      change a bit; a barrier-protected rounding product is not an
+      option, XLA strips bitcast round-trips); t0 is itself a hi+lo pair
+      carrying the ORIGINAL f64 first edge (the thresholds' own f32
+      rounding would inject ~1-ulp slope error — the model must anchor to
+      the f64 edges); an exact TwoSum against t0 absorbs cancellation at
+      the grid's zero crossing, with t0l folded into the tail. Accuracy
+      before the final rounding is ~2^-45 relative. compare_form
+      thresholds are the ROUNDUP of the f64 edge, so the decision is
+      ``[x >= F0] - [x == F0 and rho > 0]`` where rho is the Fast2Sum
+      residual of the final rounding (effective threshold nextup(F0) when
+      the true edge lies above the reconstruction) — no nextafter needed
+      in-kernel. The host certified the effective threshold equals the
+      true one at EVERY k except the static exception list ``exc``
+      ((T_k, F0_k, strict_k) triples), corrected per entry with
+      ``[x >= T_k] - model_k(x)`` — a global fixup: in-window occurrences
+      cancel the model term exactly, and certified bracketing makes
+      out-of-window model compares equal their assumed constants.
+
+    ~150 VPU ops/element vs 2/edge for the compare chain — a 10-100x win
+    beyond ~256 edges. Bit-exactness is certified by construction: the
+    host emulated THIS op sequence (bins._ds_window_model/_ds_candidate)
+    against every threshold, with FTZ-flush and candidate-slack guards.
+    """
+    x = _fix_neg_subnormals(a.astype(jnp.float32))
+    nu = ne - 1
+    t0f = jnp.float32(t0)
+    t0lf = jnp.float32(t0l)
+    invf = jnp.float32(inv)
+    b1f = jnp.float32(b1)
+    b2f = jnp.float32(b2)
+    bl1f = jnp.float32(bl1)
+    bl2f = jnp.float32(bl2)
+    # the t0l correction the candidate needs on far-offset grids
+    # (|t0| >> span) is applied as an INTEGER subtraction: in float, XLA
+    # constant-folds (x - t0) - t0l to x - fl(t0 + t0l) == x - t0 and the
+    # correction vanishes (bins._ds_candidate mirrors this op sequence)
+    y = jnp.clip(
+        (x - t0f) * invf, jnp.float32(0.0),
+        jnp.float32(float(_bins._DS_CAND_CLIP))
+    )
+    kc = jnp.clip(
+        jnp.floor(y).astype(jnp.int32) - jnp.int32(D), 2, nu - 3
+    )
+    idx = kc - 2  # thresholds below the window: all <= x (certified)
+    for j in range(5):
+        kj = kc - 2 + j
+        khi = (kj & jnp.int32(~0xFFF)).astype(jnp.float32)
+        klo = (kj & jnp.int32(0xFFF)).astype(jnp.float32)
+        p1 = khi * b1f  # ALL products exact -> FMA-stable by construction
+        c1 = khi * b2f
+        c2 = klo * b1f
+        p3 = klo * b2f
+        q1 = khi * bl1f
+        q2 = khi * bl2f
+        q3 = klo * bl1f
+        q4 = klo * bl2f
+        # error-free Fast2Sum chain over the exact products (ordering
+        # certified host-side; bins._ds_window_model mirrors every op)
+        s1 = p1 + c2
+        r1 = c2 - (s1 - p1)
+        s2 = s1 + c1
+        r2 = c1 - (s2 - s1)
+        s3 = s2 + p3
+        r3 = p3 - (s3 - s2)
+        s4 = s3 + t0f  # TwoSum(s3, t0h): branch-free, no ordering needed
+        bb = s4 - s3
+        r4 = (s3 - (s4 - bb)) + (t0f - bb)
+        tail = ((((((((r1 + r2) + r3) + r4) + q1) + q2) + q3) + q4)
+                + t0lf)
+        f0 = s4 + tail
+        rho = tail - (f0 - s4)  # Fast2Sum residual: sign directs rounding
+        cnt = (x >= f0) & ~((x == f0) & (rho > jnp.float32(0.0)))
+        idx = idx + cnt.astype(jnp.int32)
+    for t_true, f_model, strict_m in exc:
+        fm = jnp.float32(f_model)
+        mc = x >= fm
+        if strict_m:
+            mc = mc & ~(x == fm)
+        idx = idx + (
+            (x >= jnp.float32(t_true)).astype(jnp.int32)
+            - mc.astype(jnp.int32)
+        )
+    idx = idx + (x >= jnp.float32(t_last)).astype(jnp.int32)
+    return jnp.where(x == x, idx, 0)
+
+
+def _digitize_uniform(a, form, ne):
+    """Dispatch a uniform-spacing certificate (bins.uniform_form) to its
+    kernel: 3-tuple ``(t0, d, t_last)`` -> exact arithmetic digitize;
+    ``("ds", ...)`` -> double-single digitize for generic grids."""
+    if isinstance(form[0], str):
+        return _digitize_tile_uniform_ds(a, *form[1:], ne=ne)
+    return _digitize_tile_uniform(a, *form, ne=ne)
 
 
 # ---------------------------------------------------------------------------
@@ -1287,9 +1407,7 @@ def _factored_kernel(
             for k in range(n_inputs):
                 a = data_refs[k][b * tm_sub : (b + 1) * tm_sub, :]
                 if uniform is not None and uniform[k] is not None:
-                    idx = _digitize_tile_uniform(
-                        a, *uniform[k], ne=n_edges[k]
-                    )
+                    idx = _digitize_uniform(a, uniform[k], ne=n_edges[k])
                 else:
                     idx = _digitize_tile(a, edge_refs[k])
                 t = (idx - 1).reshape(1, e_sub)
@@ -1327,7 +1445,7 @@ def _factored_kernel(
     for k in range(n_inputs):
         a = data_refs[k][...]
         if uniform is not None and uniform[k] is not None:
-            idx = _digitize_tile_uniform(a, *uniform[k], ne=n_edges[k])
+            idx = _digitize_uniform(a, uniform[k], ne=n_edges[k])
         else:
             # edge_refs[k]: (ne_pad, 1), +max padded, half-open transform
             idx = _digitize_tile(a, edge_refs[k])
@@ -1639,7 +1757,7 @@ def _direct_kernel(
     for k in range(n_inputs):
         a = data_refs[k][...]
         if uniform is not None and uniform[k] is not None:
-            idx = _digitize_tile_uniform(a, *uniform[k], ne=n_edges[k])
+            idx = _digitize_uniform(a, uniform[k], ne=n_edges[k])
         else:
             # branchless searchsorted-right over pre-transformed half-open
             # edges (no inclusive-last-bin fixup; bins.compare_form)
