@@ -29,12 +29,27 @@ def oracle_rows(arrays, edges, weights=None):
 
 
 def check(name, arrays, edges, axis, weights=None, atol=2e-4):
+    from xhistogram_tpu import bins as bins_mod
+
+    try:  # display-only: mirror core's uniform certification for plan()
+        uni = tuple(
+            bins_mod.uniform_form(
+                np.asarray(
+                    bins_mod.compare_form(np.asarray(e_), np.float32).edges
+                ),
+                np.asarray(e_),
+            )
+            for e_ in edges
+        )
+    except Exception:
+        uni = None
     kernel = ph.plan(
         len(arrays),
         tuple(len(e) - 1 for e in edges),
         1 if axis is None else arrays[0].shape[0],
         c=None if axis is None else arrays[0].shape[1],
         weighted=weights is not None,
+        uniform=uni,
     )
     try:
         h, _ = histogram(*arrays, bins=edges, axis=axis, weights=weights,
@@ -134,6 +149,20 @@ def main():
     finally:
         ph._WEIGHTED_MODE = "auto"
         jax.clear_caches()
+
+    # double-single uniform digitize (generic linspace grids) ON THE CHIP:
+    # exact products + Fast2Sum chains are FMA/reassociation-proof by
+    # construction, but Mosaic lowering of the op mix is only provable here
+    ok &= check("ds uniform 1000b reduce-all", [d(2, 40000)],
+                [np.linspace(-4.2, 4.2, 1001)], None)
+    ok &= check("ds uniform exc-list 400b",
+                [(rng.randn(1, 20000) * 2 + 3.5).astype("f4")],
+                [np.linspace(0, 7, 401)], None)
+    ok &= check("ds far-offset 500b",
+                [(rng.rand(2, 20000) * 0.001 + 5000).astype("f4")],
+                [np.linspace(5000.0, 5000.001, 501)], None)
+    ok &= check("ds uniform weighted kept rows", [d(5, 3000)],
+                [np.linspace(-4, 4, 601)], (1,), w(5, 3000))
 
     # shard_map + pallas ON THE CHIP (VERDICT r2 #3): a 1-device mesh runs
     # the REAL shard_map→Mosaic lowering path (the CPU interpreter missed

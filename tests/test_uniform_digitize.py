@@ -152,8 +152,10 @@ DS_EDGE_SETS = [
     np.linspace(-4, 4, 601),       # 1 exception, zero-crossing grid
     np.linspace(-33, 91, 1001),    # 4 exceptions, asymmetric range
     np.arange(0, 800) * 0.1,       # accumulated-rounding "uniform" grid
+    np.linspace(-4.2, 4.2, 4097),  # 39 exceptions: scaled nu//32 cap
 ]
-DS_IDS = ["d1e-3", "exc13", "exc1-zero", "exc4-wide", "arange0.1"]
+DS_IDS = ["d1e-3", "exc13", "exc1-zero", "exc4-wide", "arange0.1",
+          "exc39-4k"]
 
 
 def test_ds_form_accepts_generic_linspace():

@@ -414,8 +414,12 @@ def uniform_arith_form(thresholds):
 # first attempt — injects ~1-ulp slope error across the grid and mismatches
 # a quarter of the thresholds; the f64 edges are the only sound anchor.)
 
-_DS_MAX_EXC = 16
-_DS_MIN_EDGES = 64  # below this the compare chain is cheaper than ~130 ops
+_DS_MAX_EXC = 16  # floor; scaled as max(16, nu // 32) — each exception
+# costs ~4 VPU ops/element vs the ~190-op model and a 30-100x-slower
+# compare-chain fallback, and near-f32-lattice edges (within the tail's
+# ~2^-46 resolution) recur PROPORTIONALLY to grid size on structured
+# spacings (measured: linspace(-4.2, 4.2, 4097) has 39)
+_DS_MIN_EDGES = 64  # below this the compare chain is cheaper than ~190 ops
 _DS_FTZ_FLOOR = np.float32(2.0**-120)
 
 
@@ -551,7 +555,8 @@ def uniform_ds_form(thresholds, edges64):
 
     Host-certified conditions (each exhaustive over every threshold k,
     emulating the kernel's op sequence bit-for-bit):
-      1. Teff(k) == T[k] outside <= _DS_MAX_EXC exceptions, all finite;
+      1. Teff(k) == T[k] outside <= max(_DS_MAX_EXC, nu // 32)
+         exceptions, all finite;
       2. no nonzero intermediate below 2^-120 (the device flushes
          subnormal VPU results; numpy does not — such grids fall back),
          including rho, whose flush would flip strictness;
@@ -644,7 +649,7 @@ def uniform_ds_form(thresholds, edges64):
     if not np.all(np.isfinite(Teff)):
         return None
     bad = np.nonzero(Teff != U)[0]
-    if bad.size > _DS_MAX_EXC:
+    if bad.size > max(_DS_MAX_EXC, nu // 32):
         return None
     # window bracketing with +-1 candidate slack (subnormal flush on the
     # chip's (x - t0) can move the candidate by one index).  The largest

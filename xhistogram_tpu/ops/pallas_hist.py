@@ -234,9 +234,11 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     )
     # the exact arithmetic form (~25 ops/element) beats one_input's 2/bin
     # compare chain beyond 64 bins (measured tie at 64); the double-single
-    # form (~130 ops, generic linspace grids) beyond 256
+    # form (~190 ops, generic linspace grids) beyond ~118 (measured
+    # crossover, scripts/ds_perf_probe.py: one_input 28.2 vs DS 29.8 GB/s
+    # at 128 bins, 44.1 vs 31.1 at 64)
     uni0_min_bins = (
-        (256 if isinstance(uniform[0][0], str) else 64) if uni0 else 0
+        (120 if isinstance(uniform[0][0], str) else 64) if uni0 else 0
     )
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
