@@ -145,3 +145,31 @@ def test_uniform_certified_grids_bit_exact(t0i, d, nb, seed):
     h, _ = histogram(data, bins=edges, method="pallas")
     expected = np.histogram(data.astype("f8"), bins=edges)[0]
     np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+@given(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False),
+    st.integers(min_value=66, max_value=1200),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_uniform_ds_grids_bit_exact(a, logw, nb, seed):
+    """Generic linspace grids (double-single certificate tier, or the
+    compare-chain fallback when certification rejects) must stay
+    bit-exact vs numpy, including every threshold and its one-ulp
+    neighbors."""
+    width = 10.0 ** logw
+    edges = np.linspace(a, a + width, nb + 1)
+    if not np.all(np.diff(edges) > 0):
+        return  # degenerate sub-resolution grid
+    rng = np.random.RandomState(seed)
+    e32 = edges.astype("f4")
+    data = np.concatenate([
+        e32, np.nextafter(e32, np.inf), np.nextafter(e32, -np.inf),
+        rng.uniform(edges[0] - width / 8, edges[-1] + width / 8,
+                    300).astype("f4"),
+    ]).astype("f4")
+    h, _ = histogram(data, bins=edges, method="pallas")
+    expected = np.histogram(data.astype("f8"), bins=edges)[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)
