@@ -419,6 +419,10 @@ _DS_MAX_EXC = 16  # floor; scaled as max(16, nu // 32) — each exception
 # compare-chain fallback, and near-f32-lattice edges (within the tail's
 # ~2^-46 resolution) recur PROPORTIONALLY to grid size on structured
 # spacings (measured: linspace(-4.2, 4.2, 4097) has 39)
+_DS_ABS_MAX_EXC = 256  # hard ceiling: each exception unrolls ~4 more VPU
+# ops into the kernel body, and certified grids are edge-cap-exempt —
+# a 1M-edge grid could otherwise bake tens of thousands of fixups into
+# one Mosaic program (compile-time blowup); past 256 the grid falls back
 _DS_MIN_EDGES = 64  # below this the compare chain is cheaper than ~190 ops
 _DS_FTZ_FLOOR = np.float32(2.0**-120)
 
@@ -649,7 +653,7 @@ def uniform_ds_form(thresholds, edges64):
     if not np.all(np.isfinite(Teff)):
         return None
     bad = np.nonzero(Teff != U)[0]
-    if bad.size > max(_DS_MAX_EXC, nu // 32):
+    if bad.size > min(max(_DS_MAX_EXC, nu // 32), _DS_ABS_MAX_EXC):
         return None
     # window bracketing with +-1 candidate slack (subnormal flush on the
     # chip's (x - t0) can move the candidate by one index).  The largest
