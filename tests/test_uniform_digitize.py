@@ -236,3 +236,27 @@ def test_uniform_lifts_edge_cap():
     h, _ = histogram(data, bins=edges, method="pallas")
     exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
     np.testing.assert_array_equal(np.asarray(h), exp)
+
+
+def test_uniform_routing_thresholds():
+    """plan()'s uniform-routing bin thresholds are the measured one_input
+    crossovers, per tier AND per weightedness (unweighted: arith tie at 64
+    bins, DS crossover ~118 — scripts/ds_perf_probe.py; weighted: arith
+    tie at 24, DS tie at 80 — scripts/ds_weighted_probe.py). At or below
+    the threshold one_input wins; above it the factored kernel with the
+    O(1) digitize does."""
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    arith = (0.0, 1.0, 2.0)      # positional arith form (t0, d, t_last)
+    ds = ("ds",)                 # DS forms are tagged with a leading str
+    for form, unweighted_thr, weighted_thr in (
+        (arith, 64, 24),
+        (ds, 120, 80),
+    ):
+        for weighted, thr in ((False, unweighted_thr), (True, weighted_thr)):
+            at = ph.plan(1, (thr,), 1, weighted=weighted, uniform=(form,))
+            above = ph.plan(
+                1, (thr + 1,), 1, weighted=weighted, uniform=(form,)
+            )
+            assert at == "one_input", (form[0], weighted, thr, at)
+            assert above == "factored", (form[0], weighted, thr, above)

@@ -236,9 +236,16 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     # compare chain beyond 64 bins (measured tie at 64); the double-single
     # form (~190 ops, generic linspace grids) beyond ~118 (measured
     # crossover, scripts/ds_perf_probe.py: one_input 28.2 vs DS 29.8 GB/s
-    # at 128 bins, 44.1 vs 31.1 at 64)
+    # at 128 bins, 44.1 vs 31.1 at 64). WEIGHTED crossovers sit lower —
+    # the weighted one_input pays the split-bf16 matmul on top of the
+    # compare chain, the factored route amortizes it over fewer one-hot
+    # rows (scripts/ds_weighted_probe.py, 2^28 elems: arith ties one_input
+    # at 24 bins, 25.7 vs 24.4 GB/s at 32; DS ties at 80, 19.5 vs 18.0 at
+    # 96) — arith routes >24, DS >80.
     uni0_min_bins = (
-        (120 if isinstance(uniform[0][0], str) else 64) if uni0 else 0
+        ((80 if weighted else 120)
+         if isinstance(uniform[0][0], str)
+         else (24 if weighted else 64)) if uni0 else 0
     )
     if m == 1:
         # full reduction: one_input / joint2 / factored cover everything up
