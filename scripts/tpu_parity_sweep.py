@@ -164,6 +164,17 @@ def main():
     ok &= check("ds uniform weighted kept rows", [d(5, 3000)],
                 [np.linspace(-4, 4, 601)], (1,), w(5, 3000))
 
+    # weighted uniform-routing thresholds (arith >24 / DS >80, measured
+    # scripts/ds_weighted_probe.py): the bands newly routed to factored
+    # for weighted shapes run the weighted factored kernel with the O(1)
+    # digitize — only the chip proves the Mosaic lowering of that op mix
+    ok &= check("w arith 32b reduce-all (new route)", [d(3, 9000)],
+                [e(33)], None, w(3, 9000))
+    ok &= check("w ds 96b reduce-all (new route)", [d(3, 9000)],
+                [np.linspace(-4.2, 4.2, 97)], None, w(3, 9000))
+    ok &= check("w ds 96b kept rows (new route)", [d(5, 3000)],
+                [np.linspace(-4.2, 4.2, 97)], (1,), w(5, 3000))
+
     # shard_map + pallas ON THE CHIP (VERDICT r2 #3): a 1-device mesh runs
     # the REAL shard_map→Mosaic lowering path (the CPU interpreter missed
     # two lowering-only failures in r2); psum over a singleton axis is a

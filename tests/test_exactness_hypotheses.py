@@ -173,3 +173,32 @@ def test_uniform_ds_grids_bit_exact(a, logw, nb, seed):
     h, _ = histogram(data, bins=edges, method="pallas")
     expected = np.histogram(data.astype("f8"), bins=edges)[0]
     np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+@given(
+    st.booleans(),
+    st.integers(min_value=25, max_value=160),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_uniform_weighted_routing_bands_exact(ds_tier, nb, seed):
+    """Weighted shapes route to the factored kernel at LOWER bin counts
+    than unweighted (arith >24, DS >80 — measured crossovers,
+    scripts/ds_weighted_probe.py), so the 25-64 (arith) and 81-120 (DS)
+    bands run the weighted factored kernel with the O(1) digitize. Small
+    integer weights make every product and partial sum exact in the
+    split-bf16 pipeline, so the weighted result must EQUAL numpy's."""
+    if ds_tier:
+        edges = np.linspace(-4.2, 4.2, nb + 1)  # generic spacing → DS
+    else:
+        edges = 0.25 * np.arange(nb + 1) - nb / 8.0  # pow-2 d → arith
+    rng = np.random.RandomState(seed)
+    data = np.concatenate([
+        edges.astype("f4").astype("f8"),
+        rng.uniform(edges[0] - 0.5, edges[-1] + 0.5, 400),
+    ]).astype("f4")
+    w = rng.randint(0, 9, data.size).astype("f4")
+    h, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    expected = np.histogram(data.astype("f8"), bins=edges,
+                            weights=w.astype("f8"))[0]
+    np.testing.assert_array_equal(np.asarray(h, np.float64), expected)
