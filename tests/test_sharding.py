@@ -310,3 +310,26 @@ def test_sharded_uniform_certified_bins():
         [np.histogram(r.astype("f8"), bins=edges)[0] for r in data]
     )
     np.testing.assert_array_equal(np.asarray(h), exp)
+
+
+def test_sharded_unconsumed_certificates_share_one_trace():
+    """The jit-cache-key reduction (core._uniform_static_key) applies to
+    histogram_sharded too: same-shaped calls over different certified grids
+    whose routed kernel never reads the certificate values must share ONE
+    _sharded_impl trace (routing is mirrored on the PER-SHARD shape)."""
+    from xhistogram_tpu.parallel.sharded import _sharded_impl
+
+    rng = np.random.RandomState(31)
+    data = rng.randn(8, 256).astype("f4")
+    mesh = mesh2d()
+    before = _sharded_impl._cache_size()
+    for hw in (4.0, 8.0, 16.0):
+        edges = np.linspace(-hw, hw, 33)  # pow-2 spacings: arith certified
+        h, _ = histogram_sharded(
+            data, mesh=mesh, in_spec=P("x", "y"), bins=edges,
+            method="pallas",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h), np.histogram(data.astype("f8"), bins=edges)[0]
+        )
+    assert _sharded_impl._cache_size() - before == 1

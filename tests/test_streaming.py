@@ -203,3 +203,38 @@ def test_streaming_kept_offset_bad_length_rejected():
     acc = StreamingHistogram(bins=bins9, axis=1)
     with pytest.raises(ValueError, match="kept_offset"):
         acc.update(rng.randn(2, 10).astype("f4"), kept_offset=(0, 0))
+
+
+def test_streaming_single_nonzero_offset_rejected():
+    """One block at a nonzero kept_offset does NOT tile the output — the
+    single-block stitch shortcut must not silently return it as the full
+    result (it would drop the gap rows and misplace the block at 0)."""
+    rng = np.random.RandomState(12)
+    acc = StreamingHistogram(bins=bins9, axis=1)
+    acc.update(rng.randn(3, 10).astype("f4"), kept_offset=(5,))
+    with pytest.raises(ValueError, match="tile"):
+        acc.result()
+    with pytest.raises(ValueError, match="tile"):
+        acc.counts
+
+
+def test_streaming_blocks_property_mid_stream():
+    """`blocks` exposes per-offset accumulated state even while the
+    streamed blocks do not yet tile (counts raises there) — the
+    monitoring/checkpoint surface for out-of-order kept streaming."""
+    rng = np.random.RandomState(13)
+    acc = StreamingHistogram(bins=bins9, axis=1)
+    assert acc.blocks is None
+    x0 = rng.randn(2, 10).astype("f4")
+    acc.update(x0, kept_offset=(3,))  # out-of-order arrival
+    with pytest.raises(ValueError, match="tile"):
+        acc.counts
+    blocks = acc.blocks
+    assert set(blocks) == {(3,)}
+    exp0 = np.stack([
+        np.histogram(r.astype("f8"), bins=bins9)[0] for r in x0
+    ])
+    np.testing.assert_array_equal(blocks[(3,)], exp0)
+    # completing the tiling makes counts/result available again
+    acc.update(rng.randn(3, 10).astype("f4"), kept_offset=(0,))
+    assert acc.counts.shape == (5, len(bins9) - 1)

@@ -260,3 +260,64 @@ def test_uniform_routing_thresholds():
             )
             assert at == "one_input", (form[0], weighted, thr, at)
             assert above == "factored", (form[0], weighted, thr, above)
+
+
+def test_unconsumed_certificates_share_one_jit_trace():
+    """Uniform certificates are static jit args, but calls whose routed
+    kernel never reads the VALUES (one_input routes, XLA strategies) must
+    not fork the compiled-pipeline cache per grid: N same-shaped calls
+    over different linspace grids == ONE trace (core._uniform_static_key
+    tier placeholders). Grids that DO consume the values (factored+DS
+    routes) still trace per grid — the values are compile-time constants
+    there."""
+    import jax
+
+    from xhistogram_tpu import core as core_mod
+
+    rng = np.random.RandomState(21)
+    data = rng.randn(4, 512).astype("f4")
+
+    # 32 bins < the 64-bin unweighted arith threshold -> one_input: the
+    # certificate tier matters to plan(), its values never reach a kernel
+    before = core_mod._histogram_impl._cache_size()
+    for hw in (4.0, 8.0, 16.0):
+        edges = np.linspace(-hw, hw, 33)  # pow-2 spacings: arith certified
+        h, _ = histogram(data, bins=edges, method="pallas")
+        exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
+        np.testing.assert_array_equal(np.asarray(h), exp)
+    assert core_mod._histogram_impl._cache_size() - before == 1
+
+    # 200 DS bins -> factored consumes the certificate values: per-grid
+    # traces are the documented cost of the O(1) digitize
+    before = core_mod._histogram_impl._cache_size()
+    for hw in (4.2, 4.3):
+        edges = np.linspace(-hw, hw, 201)
+        h, _ = histogram(data, bins=edges, method="pallas")
+        exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
+        np.testing.assert_array_equal(np.asarray(h), exp)
+    assert core_mod._histogram_impl._cache_size() - before == 2
+
+
+def test_huge_certified_grid_skips_edge_column():
+    """Certified inputs are exempt from the edge cap AND must not stage
+    the real edge column as a dead VMEM operand (a >2^22-edge certified
+    grid's column alone would exceed the VMEM limit on hardware): a
+    2^20-bin integer-spaced grid runs the factored kernel with a dummy
+    column and stays bit-exact."""
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    nb = 1 << 20
+    edges = np.arange(nb + 1, dtype=np.float64) - (nb // 2)
+    rng = np.random.RandomState(22)
+    data = rng.randint(-(nb // 2) - 50, nb // 2 + 50, (1, 4096)).astype(
+        np.int32
+    )
+    from xhistogram_tpu import bins as bins_mod
+
+    T = np.asarray(bins_mod.compare_form(edges, np.int32).edges)
+    form = bins_mod.uniform_form(T, edges)
+    assert form is not None
+    assert ph.plan(1, (nb,), 1, uniform=(form,)) == "factored"
+    h, _ = histogram(data, bins=edges, method="pallas")
+    exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
+    np.testing.assert_array_equal(np.asarray(h), exp)

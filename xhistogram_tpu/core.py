@@ -210,12 +210,19 @@ def _prepare_device(args, edges_np):
     uniforms = []
     for i, (a, e) in enumerate(zip(args, edges_np)):
         v = device_view(a)
-        if v is None or ftz_exact_fallback(v, e):
+        # one compare_form per input: the FTZ check below is
+        # ftz_exact_fallback's predicate applied to the same form (the
+        # shared-policy function stays the labeled cache's entry point)
+        ce = (
+            _bins_mod.compare_form(e, _device_dtype(v))
+            if v is not None
+            else None
+        )
+        if ce is None or _ftz_unsafe_edges(ce):
             args[i], code_edges = _exact_rank_codes(a, e)
             ce = _bins_mod.CompareEdges(code_edges, 0)
         else:
             args[i] = v
-            ce = _bins_mod.compare_form(e, _device_dtype(v))
         edges_dev.append(jnp.asarray(ce.edges))
         n_his.append(int(ce.n_hi_clip))
         # host-verified uniform spacing unlocks the kernels' O(1)
@@ -229,6 +236,60 @@ def _prepare_device(args, edges_np):
             else None
         )
     return args, tuple(edges_dev), tuple(n_his), tuple(uniforms)
+
+
+def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
+                        has_weights, weights_dtype, n_hi_clip, int_weights):
+    """Reduce the uniform certificates to the smallest static jit key.
+
+    The certificates enter ``_histogram_impl`` as STATIC args, so every
+    distinct certificate VALUE would fork the jit cache — a fresh ~30-60 s
+    trace per linspace grid on the remote-compile TPU path — even for calls
+    whose routed kernel never reads the values (one_input / joint2 / the
+    XLA strategies consult only presence + tier through ``plan()``). Mirror
+    the dispatch decision host-side and, when the values are NOT consumed,
+    replace each certificate with its tier placeholder — ``(0.0,)`` (arith)
+    / ``("ds",)`` (double-single) — so same-shaped calls over different
+    unconsumed grids share one compiled pipeline. The placeholders keep
+    every ``plan()`` decision identical (it reads only presence and the
+    tier tag) and are deliberately TOO SHORT to unpack as real forms, so a
+    kernel consuming one by mistake raises instead of mis-binning."""
+    if all(u is None for u in uniform):
+        return uniform
+    if _os.environ.get("XHIST_FORCE_KERNEL"):
+        return uniform  # probe knob may force a consuming kernel
+    consumed = False
+    if method == "pallas" or (
+        method == "auto"
+        and jax.default_backend() == "tpu"
+        and not any(n_hi_clip)
+        and not int_weights
+    ):
+        from .ops.pallas_hist import UNIFORM_CONSUMERS, planned_kernel
+
+        kshape = kept_shape(shape, axis_t)
+        if kshape == ():
+            m_eff, c_eff = 1, None
+        else:
+            m_eff = int(np.prod(kshape, dtype=np.int64))
+            c_eff = int(np.prod(shape, dtype=np.int64)) // max(m_eff, 1)
+        kernel = planned_kernel(
+            n_inputs,
+            nbins,
+            m_eff,
+            c=c_eff,
+            weighted=has_weights,
+            weights_dtype=weights_dtype,
+            uniform=uniform,
+            forced=method == "pallas",
+        )
+        consumed = kernel in UNIFORM_CONSUMERS
+    if consumed:
+        return uniform
+    return tuple(
+        None if u is None else (("ds",) if isinstance(u[0], str) else (0.0,))
+        for u in uniform
+    )
 
 
 @partial(
@@ -544,6 +605,22 @@ def histogram(
         jnp.asarray(_bins_mod.bin_areas(edges_np), jnp.float32)
         if density and wide_limit is None
         else None
+    )
+
+    # Don't fork the jit cache on certificate VALUES the routed kernel
+    # never reads (one compiled pipeline per shape, not per linspace grid).
+    uniform = _uniform_static_key(
+        uniform,
+        n_inputs,
+        nbins,
+        arrays_b[0].shape,
+        axis_t,
+        method,
+        weights is not None,
+        weights_b.dtype if weights is not None else None,
+        n_hi_clip,
+        weights is not None
+        and jnp.issubdtype(weights_b.dtype, jnp.integer),
     )
 
     h = _histogram_impl(

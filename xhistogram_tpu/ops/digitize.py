@@ -32,6 +32,8 @@ import math
 
 import jax.numpy as jnp
 
+from .ftz import fix_neg_subnormals
+
 __all__ = ["digitize_edges", "joint_bin_index"]
 
 
@@ -54,22 +56,10 @@ def digitize_edges(a, edges, dtype=jnp.int32, n_hi_clip=0):
     """
     edges = jnp.asarray(edges)
     n_edges = edges.shape[0]
-    if a.dtype == jnp.float32:
-        # FTZ exactness fix, mirrored from the pallas kernels
-        # (ops.pallas_hist._fix_neg_subnormals): XLA:TPU comparisons flush
-        # subnormal operands to ±0, which would move a negative-subnormal
-        # value across a t == 0.0 threshold. Bitwise-detect and rewrite to
-        # -tiny_normal (comparison-preserving; subnormal thresholds
-        # themselves take the exact host path). Harmless no-op semantics
-        # on CPU.
-        import jax as _jax
-
-        xi = _jax.lax.bitcast_convert_type(a, jnp.int32)
-        mag = xi & jnp.int32(0x7FFFFFFF)
-        neg_subn = (xi < 0) & (mag != 0) & (mag < jnp.int32(0x00800000))
-        a = jnp.where(
-            neg_subn, jnp.asarray(-1.1754943508222875e-38, a.dtype), a
-        )
+    # FTZ exactness fix, shared with the pallas kernels (ops/ftz.py):
+    # XLA:TPU comparisons flush subnormal operands to ±0, which would move
+    # a negative-subnormal value across a t == 0.0 threshold.
+    a = fix_neg_subnormals(a)
     idx = jnp.searchsorted(edges, a, side="right").astype(dtype)
     if n_hi_clip:
         if jnp.issubdtype(a.dtype, jnp.floating):

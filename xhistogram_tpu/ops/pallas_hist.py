@@ -337,6 +337,34 @@ def supports(
     )
 
 
+#: kernels whose digitize reads the uniform-certificate VALUES (the rest —
+#: one_input / joint2 / the XLA strategies — consult only presence + tier
+#: through plan(); see core._uniform_static_key)
+UNIFORM_CONSUMERS = frozenset(
+    {"factored", "factored_per_row", "factored_packed", "direct"}
+)
+
+
+def planned_kernel(n_inputs, nbins, m, c=None, weighted=False,
+                   weights_dtype=None, uniform=None, forced=False):
+    """The kernel ``_dispatch`` would run for this shape (None = XLA
+    strategies): ``plan()`` plus the explicit-``method='pallas'`` fallback
+    (``forced``). Single source of truth for callers that need the routing
+    decision host-side (core's jit-cache-key reduction) — computed with the
+    same actual-channel-count sizing as ``supports``."""
+    n_outs = None
+    if weighted and weights_dtype is not None:
+        faithful = not _ASSUME_FINITE and jnp.issubdtype(
+            weights_dtype, jnp.floating
+        )
+        n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(None))
+    kernel = plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs,
+                  uniform=uniform)
+    if kernel is None and forced:
+        kernel = "factored" if m == 1 else "direct"
+    return kernel
+
+
 def _max_fill(dtype):
     if jnp.issubdtype(dtype, jnp.floating):
         return np.asarray(np.inf, dtype)
@@ -351,6 +379,25 @@ def _edges_col(e, pad_to=_SUB):
     ne_pad = _round_up(ne, pad_to)
     e = jnp.pad(e, (0, ne_pad - ne), constant_values=_max_fill(e.dtype))
     return e.reshape(ne_pad, 1), ne
+
+
+def _edge_cols_or_dummies(edges, uniform):
+    """VMEM edge columns for the digitize — except uniform-certified inputs,
+    whose kernels never read the edge ref (the O(1) arithmetic/DS digitize
+    recomputes thresholds in-register). Staging the real column for them
+    would be a dead multi-MB VMEM operand, and certified inputs are exempt
+    from the edge cap (plan()'s eff_edges) precisely because the column is
+    not needed — a >2^22-edge certified grid's column alone would blow the
+    VMEM limit."""
+    return [
+        _edges_col(
+            jnp.zeros((1,), jnp.asarray(e).dtype)
+            if (uniform is not None and uniform[k] is not None)
+            else e,
+            pad_to=_DIG_CHUNK,
+        )[0]
+        for k, e in enumerate(edges)
+    ]
 
 
 def _lo_hi_cols(e):
@@ -633,24 +680,9 @@ def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
     return tc
 
 
-def _fix_neg_subnormals(x):
-    """FTZ exactness fix (f32 only): the device flushes subnormal operands
-    to ±0 in comparisons (probed on the real chip AND in the TPU-semantics
-    interpreter), so a negative-subnormal data value would land on the
-    wrong side of a t == 0.0 threshold — the one representable threshold
-    between it and its flushed value (thresholds strictly inside
-    (-tiny, 0) are subnormal themselves and already take the exact host
-    path, core.ftz_exact_fallback). Rewrite negative subnormals to
-    -tiny_normal via BITWISE detection (integer ops don't flush): every
-    comparison against every representable non-subnormal threshold is
-    unchanged. NaN/±inf/-0.0 untouched. ~5 VPU ops per element — applied
-    unconditionally on float32 data rows (0.3-3% of kernel VPU work)."""
-    if x.dtype != jnp.float32:
-        return x
-    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-    mag = xi & jnp.int32(0x7FFFFFFF)
-    neg_subn = (xi < 0) & (mag != 0) & (mag < jnp.int32(0x00800000))
-    return jnp.where(neg_subn, jnp.float32(-1.1754943508222875e-38), x)
+# FTZ exactness fix: one shared definition with the XLA digitize
+# (ops/ftz.py) so kernel and XLA semantics cannot desynchronize.
+from .ftz import fix_neg_subnormals as _fix_neg_subnormals
 
 
 def _digitize_tile(a, edges_ref):
@@ -1630,7 +1662,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn,
                    c_pad - c_syn)
 
-    edge_ops = [_edges_col(e, pad_to=_DIG_CHUNK)[0] for e in edges]
+    edge_ops = _edge_cols_or_dummies(edges, uniform)
 
     # grid order must keep each output block's visits consecutive (see the
     # kernel docstring): per_row → (i, n, j); reduce-all → (n, i, j)
@@ -1861,10 +1893,7 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins, wmode="split",
         w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn,
                    c_pad - c_syn)
 
-    edge_ops = []
-    for e in edges:
-        col, _ = _edges_col(e, pad_to=_DIG_CHUNK)
-        edge_ops.append(col)
+    edge_ops = _edge_cols_or_dummies(edges, uniform)
 
     grid = (m_pad // tm, n_chunks, c_pad // tc)
     in_specs = [

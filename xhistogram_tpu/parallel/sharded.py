@@ -35,7 +35,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import bins as _bins_mod
-from ..core import _coerce_host, _histogram_impl, _prepare_device
+from ..core import (
+    _coerce_host,
+    _histogram_impl,
+    _prepare_device,
+    _uniform_static_key,
+)
 from ..utils.axes import normalize_axis
 
 __all__ = ["histogram_sharded", "reduce_spec"]
@@ -133,6 +138,31 @@ def histogram_sharded(
             )
 
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
+
+    # Don't fork the jit cache on certificate VALUES the routed kernel never
+    # reads (same reduction as core.histogram) — mirrored on the PER-SHARD
+    # shape, since plan() inside the shard_map body routes on local shapes.
+    entries = list(in_spec) + [None] * (ndim - len(in_spec))
+    local_shape = []
+    for i, entry in enumerate(entries):
+        size = shape[i]
+        if entry is not None:
+            names = entry if isinstance(entry, tuple) else (entry,)
+            for nm in names:
+                size //= mesh.shape[nm]
+        local_shape.append(size)
+    uniform = _uniform_static_key(
+        uniform,
+        n_inputs,
+        nbins,
+        tuple(local_shape),
+        axis_t,
+        method,
+        weights is not None,
+        weights.dtype if weights is not None else None,
+        n_hi_clip,
+        weights is not None and jnp.issubdtype(weights.dtype, jnp.integer),
+    )
 
     h = _sharded_impl(
         tuple(arrays),

@@ -169,7 +169,10 @@ class StreamingHistogram:
         validating that the offsets+shapes tile the kept space exactly."""
         blocks = self._blocks
         n_kept = len(next(iter(blocks)))
-        if n_kept == 0 or len(blocks) == 1:
+        # the single-block shortcut applies only to the zero offset: one
+        # block at a nonzero kept_offset does NOT tile the output (rec()
+        # below raises the gap error for it)
+        if n_kept == 0 or set(blocks) == {(0,) * n_kept}:
             (only,) = blocks.values()
             return only
 
@@ -196,10 +199,23 @@ class StreamingHistogram:
         return rec(blocks, 0)
 
     @property
+    def blocks(self):
+        """Per-kept-offset accumulated host blocks (dict: offset tuple →
+        int64/float64 array), or None before any update. Always available
+        mid-stream — use this for progress monitoring or checkpointing
+        while the streamed kept-axis blocks do not yet tile the output
+        (``counts`` raises in that state)."""
+        if self._blocks is None:
+            return None
+        return dict(self._blocks)
+
+    @property
     def counts(self):
         """Accumulated counts so far (host array: int64 counts / float64
         weighted sums — no int32 overflow cap), stitched over any kept-axis
-        blocks; None before any update."""
+        blocks; None before any update. Raises ValueError while kept-offset
+        blocks streamed so far leave gaps (they cannot be stitched into one
+        array yet) — poll ``blocks`` for mid-stream state instead."""
         if self._blocks is None:
             return None
         return self._stitched()
