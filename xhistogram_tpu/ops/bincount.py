@@ -42,6 +42,15 @@ __all__ = [
 # VMEM-resident intermediates instead of a host temp array.
 _ONEHOT_BUDGET = 4_000_000
 
+# Cap on the sort strategy's transient (rows, n_slots + 1) bucket-boundary
+# array, in elements (2^24 int32 = 64 MB): huge-slot reductions scan over
+# chunk-row blocks instead of batching every chunk row at once.
+_SORT_POS_BUDGET = 1 << 24
+
+# Above this m × n_slots, the scatter strategy's fused row-offset index
+# would overflow int32; it switches to 2-D (row, slot) scatter indices.
+_SCATTER_FLAT_LIMIT = 2**31
+
 
 def _counts_dtype(weights):
     return jnp.int32 if weights is None else weights.dtype
@@ -54,17 +63,28 @@ def bincount2d_scatter(g, weights, n_slots):
     offset fused; indices are in-bounds by construction.
     """
     m, c = g.shape
-    offset = g + (n_slots * jnp.arange(m, dtype=g.dtype))[:, None]
-    flat = offset.reshape(-1)
+    if m * n_slots < _SCATTER_FLAT_LIMIT:
+        offset = g + (n_slots * jnp.arange(m, dtype=g.dtype))[:, None]
+        flat = offset.reshape(-1)
+        if weights is None:
+            out = jnp.zeros((m * n_slots,), jnp.int32).at[flat].add(
+                1, mode="promise_in_bounds"
+            )
+        else:
+            out = jnp.zeros((m * n_slots,), weights.dtype).at[flat].add(
+                weights.reshape(-1), mode="promise_in_bounds"
+            )
+        return out.reshape(m, n_slots)
+    # m * n_slots would overflow the int32 flat offset — scatter per row
+    # instead (2-D indices, each component < 2**31 by construction)
+    rows = jnp.broadcast_to(jnp.arange(m, dtype=g.dtype)[:, None], (m, c))
     if weights is None:
-        out = jnp.zeros((m * n_slots,), jnp.int32).at[flat].add(
+        return jnp.zeros((m, n_slots), jnp.int32).at[rows, g].add(
             1, mode="promise_in_bounds"
         )
-    else:
-        out = jnp.zeros((m * n_slots,), weights.dtype).at[flat].add(
-            weights.reshape(-1), mode="promise_in_bounds"
-        )
-    return out.reshape(m, n_slots)
+    return jnp.zeros((m, n_slots), weights.dtype).at[rows, g].add(
+        weights, mode="promise_in_bounds"
+    )
 
 
 def _auto_block(m, c, n_slots, block_size):
@@ -156,7 +176,16 @@ def bincount2d_sort(g, weights, n_slots):
     _CHUNK = 1 << 20
     if m == 1 and c > 2 * _CHUNK:
         k = -(-c // _CHUNK)
-        pad = k * _CHUNK - c
+        # Bound the transient memory: the bucket-boundary positions are
+        # (rows, n_slots + 1) int32 per sorted row batch — batching ALL k
+        # chunk rows at huge n_slots allocates rows × slots (the r3 cap
+        # measurements saw the weighted variant kill the TPU worker at
+        # 2^24 slots × 256 chunk rows ≈ 17 GB). Scan over row blocks whose
+        # positions stay ≤ _SORT_POS_BUDGET elements instead.
+        rows_per_step = min(k, max(1, _SORT_POS_BUDGET // (n_slots + 1)))
+        steps = -(-k // rows_per_step)
+        k_pad = steps * rows_per_step
+        pad = k_pad * _CHUNK - c
         # pad with the trash slot (n_slots - 1); subtract the padding from it
         gp = jnp.pad(g.reshape(-1), (0, pad), constant_values=n_slots - 1)
         wp = (
@@ -164,12 +193,26 @@ def bincount2d_sort(g, weights, n_slots):
             if weights is not None
             else None
         )
-        parts = bincount2d_sort(
-            gp.reshape(k, _CHUNK),
-            wp.reshape(k, _CHUNK) if wp is not None else None,
-            n_slots,
-        )
-        total = parts.sum(axis=0, keepdims=True)
+        if steps == 1:
+            parts = bincount2d_sort(
+                gp.reshape(k_pad, _CHUNK),
+                wp.reshape(k_pad, _CHUNK) if wp is not None else None,
+                n_slots,
+            )
+            total = parts.sum(axis=0, keepdims=True)
+        else:
+            xs = (gp.reshape(steps, rows_per_step, _CHUNK),)
+            if wp is not None:
+                xs += (wp.reshape(steps, rows_per_step, _CHUNK),)
+
+            def step(acc, args):
+                gb = args[0]
+                wb = args[1] if wp is not None else None
+                part = bincount2d_sort(gb, wb, n_slots)
+                return acc + part.sum(axis=0, keepdims=True), None
+
+            acc0 = jnp.zeros((1, n_slots), _counts_dtype(weights))
+            total, _ = jax.lax.scan(step, acc0, xs)
         if weights is None and pad:
             total = total.at[0, n_slots - 1].add(-pad)
         return total
