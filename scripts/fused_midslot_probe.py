@@ -74,12 +74,18 @@ def case(nb, weighted, method, elems=10_000_000):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    os.environ["XHIST_FORCE_KERNEL"] = "factored"
-    sides = [int(a) for a in sys.argv[1:]] or [1024, 1449, 2048, 2896]
-    for n in sides:
-        case((n, n), False, "pallas")
-    for n in sides:
-        case((n, n), True, "pallas")
+    specs = sys.argv[1:] or ["1024,u", "1449,u", "2048,u",
+                             "1024,w", "1449,w", "2048,w"]
+    for spec in specs:
+        parts = spec.split(",")
+        n = int(parts[0])
+        weighted = parts[1] == "w"
+        method = parts[2] if len(parts) > 2 else "pallas"
+        if method == "pallas":
+            os.environ["XHIST_FORCE_KERNEL"] = "factored"
+        else:
+            os.environ.pop("XHIST_FORCE_KERNEL", None)
+        case((n, n), weighted, method)
     print("DONE", flush=True)
 
 

@@ -28,7 +28,8 @@ def oracle_rows(arrays, edges, weights=None):
     return np.stack(outs)
 
 
-def check(name, arrays, edges, axis, weights=None, atol=2e-4):
+def check(name, arrays, edges, axis, weights=None, atol=2e-4,
+          method="pallas"):
     from xhistogram_tpu import bins as bins_mod
 
     try:  # display-only: mirror core's uniform certification for plan()
@@ -53,7 +54,7 @@ def check(name, arrays, edges, axis, weights=None, atol=2e-4):
     )
     try:
         h, _ = histogram(*arrays, bins=edges, axis=axis, weights=weights,
-                         method="pallas")
+                         method=method)
     except Exception as e:
         print(f"FAIL {name} [{kernel}]: {type(e).__name__}: {str(e)[:120]}")
         return False
@@ -121,9 +122,23 @@ def main():
                 [d(4, 2000)], [e(ph._DIG_UNROLL_MAX + 513)], (1,))
     ok &= check("fori digitize reduce-all 4097 edges", [d(2, 50000)],
                 [e(4097)], None)
-    # huge slots (n1-chunked HBM grid past 2^23)
+    # huge slots (n1-chunked HBM grid past 2^23; explicit-pallas keeps the
+    # fused kernel above the auto full cap)
     ok &= check("huge slots 4096x4095", [d(1, 20000), d(1, 20000)],
                 [e(4097), e(4096)], None)
+    # above the full-reduction caps, auto routes to the XLA scatter
+    # fallback (+ compare-sum digitize) — r3 revision, doc/perf_model.md
+    ok &= check("auto scatter 2049x2048 u", [d(1, 20000), d(1, 20000)],
+                [e(2050), e(2049)], None, method="auto")
+    ok &= check("auto scatter 724x724 w", [d(1, 20000), d(1, 20000)],
+                [e(725), e(725)], None, weights=w(1, 20000),
+                method="auto")
+    # >8192-edge certified grid above the weighted cap: the XLA route must
+    # consume the certificate (O(1) jnp digitize) instead of searchsorted
+    # (2^19 bins over a pow-2 width -> arith tier always certifies)
+    ok &= check("auto scatter 2^19 uniform bins w", [d(1, 20000)],
+                [e((1 << 19) + 1)], None, weights=w(1, 20000),
+                method="auto")
     # NaN/inf data routing
     data = d(2, 5000)
     data[0, :5] = [np.nan, np.inf, -np.inf, np.nan, np.inf]

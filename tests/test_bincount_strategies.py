@@ -135,3 +135,72 @@ def test_scatter_nonfinite_weights_inherently_faithful():
     assert np.isnan(out[1])
     assert np.isposinf(out[2])
     assert out[3] == 0.0
+
+
+class TestCompareSumDigitize:
+    """The TPU compare-sum digitize (ops/digitize.py::_compare_sum_right)
+    must be bit-identical to searchsorted-right — same comparisons, only
+    the counting differs. The CPU suite exercises it via the module knob
+    (the auto rule enables it on the TPU backend only)."""
+
+    def _both(self, monkeypatch, a, edges, **kw):
+        from xhistogram_tpu.ops import digitize as dg
+
+        monkeypatch.setattr(dg, "_CMP_MODE", "0")
+        ref = np.asarray(dg.digitize_edges(jnp.asarray(a),
+                                           jnp.asarray(edges), **kw))
+        monkeypatch.setattr(dg, "_CMP_MODE", "1")
+        cmp_ = np.asarray(dg.digitize_edges(jnp.asarray(a),
+                                            jnp.asarray(edges), **kw))
+        np.testing.assert_array_equal(cmp_, ref)
+        return ref
+
+    def test_float_tricky_values(self, monkeypatch):
+        edges = np.array([-np.inf, -1.0, -1e-38, 0.0, 1e-38, 1.0, np.inf],
+                         np.float32)
+        a = np.array(
+            [np.nan, -np.inf, np.inf, -0.0, 0.0, -1e-39, 1e-39, -1.0, 1.0,
+             np.nextafter(np.float32(1.0), np.float32(0)),
+             np.nextafter(np.float32(-1.0), np.float32(0))],
+            np.float32,
+        )
+        self._both(monkeypatch, a.reshape(1, -1), edges)
+
+    def test_integer_edges_and_top_value(self, monkeypatch):
+        edges = np.array([-100, -3, 0, 7, 127], np.int32)
+        a = np.array([[-128, -100, -99, -3, -1, 0, 6, 7, 126, 127]],
+                     np.int32)
+        self._both(monkeypatch, a, edges, n_hi_clip=1)
+
+    def test_blocked_path_and_random(self, monkeypatch):
+        """Force multiple lax.map blocks (shrink the block budget) and fuzz
+        against searchsorted on a large random draw including exact-edge
+        hits."""
+        from xhistogram_tpu.ops import digitize as dg
+
+        monkeypatch.setattr(dg, "_CMP_BLOCK_ELEMS", 1 << 12)
+        rng = np.random.RandomState(7)
+        edges = np.sort(rng.randn(129)).astype(np.float32)
+        a = rng.randn(3, 5000).astype(np.float32)
+        a.ravel()[rng.choice(a.size, 500, replace=False)] = rng.choice(
+            edges, 500
+        )  # exact threshold hits
+        a.ravel()[:3] = [np.nan, np.inf, -np.inf]
+        self._both(monkeypatch, a, edges)
+
+    def test_full_pipeline_parity(self, monkeypatch):
+        """End-to-end: histogram() with the compare-sum digitize forced on
+        matches numpy bit-exactly via an XLA strategy."""
+        from xhistogram_tpu.ops import digitize as dg
+
+        monkeypatch.setattr(dg, "_CMP_MODE", "1")
+        from xhistogram_tpu import histogram
+
+        rng = np.random.RandomState(8)
+        data = rng.randn(4, 3000).astype("f4")
+        edges = np.linspace(-4, 4, 100)
+        h, _ = histogram(data, bins=edges, axis=1, method="scatter")
+        exp = np.stack(
+            [np.histogram(r.astype("f8"), bins=edges)[0] for r in data]
+        )
+        np.testing.assert_array_equal(np.asarray(h), exp)

@@ -34,15 +34,21 @@ def test_plan_known_boundaries():
     assert ph.plan(1, (300,), 1) == "one_input"
     # classic T-S joint grid, full reduce → joint2
     assert ph.plan(2, (280, 340), 1) == "joint2"
-    # big joint grid, full reduce → factored (slot caps at the measured
-    # fused/sort crossovers: 2^25 unweighted ~ the r2 crossover, 2^24
-    # weighted where the sort fallback crashes the TPU runtime while fused
-    # is still 3-4x faster — scripts/cliff_perf.py r2 / r3_caps.py r3)
-    assert ph.plan(2, (2048, 2048), 1) == "factored"
-    assert ph.plan(2, (5792, 5792), 1) == "factored"  # 33.5M < 2^25
-    assert ph.plan(2, (5793, 5793), 1) is None
-    assert ph.plan(2, (4096, 4095), 1, weighted=True) == "factored"
-    assert ph.plan(2, (4096, 4096), 1, weighted=True) is None  # > 2^24
+    # big joint grid, full reduce → factored up to the measured
+    # fused-vs-scatter pipeline crossovers (r3 scripts/fused_midslot_probe:
+    # unweighted ~tie 1-4M slots → cap 2^21; weighted fused 0.66 GB/s at
+    # 2^18 vs scatter ~0.5, 0.03 vs 0.26 at 4.2M → cap 2^18); above, the
+    # XLA scatter fallback (~flat in n_slots) is faster
+    assert ph.plan(2, (1024, 1024), 1) == "factored"  # 1.05M < 2^21
+    assert ph.plan(2, (1448, 1448), 1) == "factored"  # 2.1M  < 2^21
+    assert ph.plan(2, (2048, 2048), 1) is None  # 4.2M > 2^21 → scatter
+    assert (
+        ph.plan(3, (64, 64, 63), 1, weighted=True) == "factored"
+    )  # 258k < 2^18
+    assert ph.plan(3, (64, 64, 64), 1, weighted=True) is None  # > 2^18
+    # joint2 is O(nb_a + nb_b)/element — the factored full-reduction cap
+    # does not apply to it (its own rounded-sum gate bounds it)
+    assert ph.plan(2, (768, 760), 1, weighted=True) == "joint2"  # 583k slots
     # kept rows, wide reduce axis, large grid → per-row factored
     assert ph.plan(2, (280, 340), 64, c=100_000) == "factored_per_row"
     # kept rows, narrow reduce axis, small grid → direct

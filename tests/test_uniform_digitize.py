@@ -321,3 +321,87 @@ def test_huge_certified_grid_skips_edge_column():
     h, _ = histogram(data, bins=edges, method="pallas")
     exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
     np.testing.assert_array_equal(np.asarray(h), exp)
+
+
+class TestXlaUniformDigitize:
+    """Above the compare-sum edge limit, the XLA pipeline consumes uniform
+    certificates with the kernels' pure-jnp O(1) digitize (searchsorted's
+    gather search costs ~180 ns/element on TPU). The CPU suite forces the
+    route via the module knob; parity must be bit-exact."""
+
+    @staticmethod
+    def _force(monkeypatch):
+        from xhistogram_tpu.ops import digitize as dg
+
+        monkeypatch.setattr(dg, "_XLA_UNI_MODE", "1")
+
+    @pytest.mark.parametrize(
+        "edges",
+        [
+            np.linspace(-8.0, 8.0, 257),  # pow-2 spacing: arith tier
+            np.linspace(-4.0, 4.0, 202),  # generic linspace: DS tier
+            np.arange(-300.0, 301.0),  # integer-width: arith tier
+        ],
+    )
+    def test_scatter_route_bit_exact(self, monkeypatch, edges):
+        self._force(monkeypatch)
+        rng = np.random.RandomState(40)
+        lo, hi = edges[0], edges[-1]
+        data = rng.uniform(lo - 1, hi + 1, (3, 4000)).astype("f4")
+        data.ravel()[:4] = [np.nan, np.inf, -np.inf, lo]
+        data.ravel()[4:104] = rng.choice(edges, 100).astype("f4")
+        h, _ = histogram(data, bins=edges, axis=1, method="scatter")
+        exp = np.stack(
+            [np.histogram(r.astype("f8"), bins=edges)[0] for r in data]
+        )
+        np.testing.assert_array_equal(np.asarray(h), exp)
+
+    def test_int_data_integer_grid(self, monkeypatch):
+        self._force(monkeypatch)
+        rng = np.random.RandomState(41)
+        edges = np.arange(-500, 501, 2, dtype=np.float64)
+        data = rng.randint(-520, 520, (2, 3000)).astype(np.int32)
+        h, _ = histogram(data, bins=edges, method="scatter")
+        exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
+        np.testing.assert_array_equal(np.asarray(h), exp)
+
+    def test_static_key_keeps_consumed_values(self, monkeypatch):
+        """With the XLA route consuming certificates, _uniform_static_key
+        must keep the values (a placeholder would make the trace raise or
+        mis-bin) — calls over different grids fork the cache, same grid
+        reuses it."""
+        self._force(monkeypatch)
+        from xhistogram_tpu import core as core_mod
+
+        rng = np.random.RandomState(42)
+        data = rng.randn(2, 1000).astype("f4")
+        before = core_mod._histogram_impl._cache_size()
+        for hw in (4.1, 4.2, 4.2):
+            edges = np.linspace(-hw, hw, 202)
+            h, _ = histogram(data, bins=edges, method="scatter")
+            exp = np.histogram(data.ravel().astype("f8"), bins=edges)[0]
+            np.testing.assert_array_equal(np.asarray(h), exp)
+        assert core_mod._histogram_impl._cache_size() - before == 2
+
+    def test_weighted_joint_mixed_certificates(self, monkeypatch):
+        """Joint call where one input is certified and the other is not:
+        per-input consumption, weighted sums allclose + count placement
+        exact."""
+        self._force(monkeypatch)
+        rng = np.random.RandomState(43)
+        ea = np.linspace(-4.0, 4.0, 91)  # DS-certified
+        eb = np.sort(rng.uniform(-4, 4, 41))  # irregular: compare path
+        a = rng.randn(1, 5000).astype("f4")
+        b = rng.randn(1, 5000).astype("f4")
+        w = rng.rand(1, 5000).astype("f4")
+        h, _ = histogram(a, b, bins=[ea, eb], weights=w, method="scatter")
+        exp = np.histogram2d(
+            a.ravel().astype("f8"), b.ravel().astype("f8"),
+            bins=[ea, eb], weights=w.ravel().astype("f8"),
+        )[0]
+        np.testing.assert_allclose(np.asarray(h), exp, rtol=1e-4)
+        hu, _ = histogram(a, b, bins=[ea, eb], method="scatter")
+        expu = np.histogram2d(
+            a.ravel().astype("f8"), b.ravel().astype("f8"), bins=[ea, eb]
+        )[0]
+        np.testing.assert_array_equal(np.asarray(hu), expu)

@@ -259,6 +259,7 @@ def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
     if _os.environ.get("XHIST_FORCE_KERNEL"):
         return uniform  # probe knob may force a consuming kernel
     consumed = False
+    xla_route = method in ("scatter", "onehot", "sort")
     if method == "pallas" or (
         method == "auto"
         and jax.default_backend() == "tpu"
@@ -284,11 +285,31 @@ def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
             forced=method == "pallas",
         )
         consumed = kernel in UNIFORM_CONSUMERS
+        xla_route = kernel is None and method != "pallas"
+    elif method == "auto":
+        # auto off-TPU, or a TPU config the pallas gate excludes
+        # (n_hi_clip / integer weights) — the XLA strategies run
+        xla_route = True
     if consumed:
         return uniform
+    # the XLA digitize consumes certificates per input above the
+    # compare-sum edge limit (ops/digitize.py::uniform_wanted_xla — the
+    # trace reads those values, so they must stay in the key)
+    from .ops.digitize import uniform_wanted_xla
+
+    n_his = n_hi_clip if n_hi_clip is not None else (0,) * n_inputs
     return tuple(
-        None if u is None else (("ds",) if isinstance(u[0], str) else (0.0,))
-        for u in uniform
+        None
+        if u is None
+        else (
+            u
+            if (
+                xla_route
+                and uniform_wanted_xla(u, int(nbins[i]) + 1, n_his[i])
+            )
+            else (("ds",) if isinstance(u[0], str) else (0.0,))
+        )
+        for i, u in enumerate(uniform)
     )
 
 
@@ -416,11 +437,26 @@ def _histogram_impl(
         else:
             # XLA pipeline: digitize each input, fuse into one trimmed joint
             # index with a trailing trash slot (reference core.py:157-192
-            # semantics), then count with the selected strategy.
+            # semantics), then count with the selected strategy. Inputs with
+            # a uniform certificate skip the edge comparisons entirely above
+            # the compare-sum limit (the kernels' O(1) digitize is pure jnp;
+            # NaN/out-of-range land on trash-routed indices either way).
+            from .ops.digitize import uniform_wanted_xla
+            from .ops.pallas_hist import _digitize_uniform
+
             with jax.named_scope("xhistogram.digitize"):
                 indices = [
-                    digitize_edges(a, e, n_hi_clip=nh)
-                    for a, e, nh in zip(parts_2d, edges, n_hi_clip)
+                    _digitize_uniform(a, uniform[i], int(e.shape[0]))
+                    if (
+                        uniform is not None
+                        and uniform_wanted_xla(
+                            uniform[i], int(e.shape[0]), nh
+                        )
+                    )
+                    else digitize_edges(a, e, n_hi_clip=nh)
+                    for i, (a, e, nh) in enumerate(
+                        zip(parts_2d, edges, n_hi_clip)
+                    )
                 ]
                 g, n_slots = joint_bin_index(indices, nbins)
             with jax.named_scope("xhistogram.bincount"):

@@ -270,8 +270,14 @@ def bincount2d(g, weights, n_slots, method="auto", block_size="auto"):
         if backend == "cpu":
             method = "scatter"
         else:
-            # On TPU: MXU one-hot for small slot counts, sort for huge ones.
-            method = "onehot" if n_slots <= 4096 else "sort"
+            # On TPU: scatter is ~flat 0.3-0.5 GB/s in n_slots (serial
+            # updates, O(1)/element) and beat onehot 13x at 4096 slots and
+            # sort 20-100x above 1M (scripts/fused_midslot_probe.py /
+            # hugeslot_fallback_probe.py, r3 — the old sort rule also
+            # crashed the worker at 2^24 slots). onehot's O(n_slots)/elem
+            # contraction only wins at tiny slot counts (extrapolated
+            # crossover ~300 slots from 0.039 GB/s at 4096).
+            method = "onehot" if n_slots <= 256 else "scatter"
     if method == "scatter":
         return bincount2d_scatter(g, weights, n_slots)
     if method == "onehot":

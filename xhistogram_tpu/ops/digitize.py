@@ -29,12 +29,93 @@ oracle tests against numpy):
 from __future__ import annotations
 
 import math
+import os
 
+import jax
 import jax.numpy as jnp
 
 from .ftz import fix_neg_subnormals
 
 __all__ = ["digitize_edges", "joint_bin_index"]
+
+# On TPU, jnp.searchsorted lowers to a per-element gather binary search —
+# measured ~180 ns/element on v5e regardless of edge count (it dominated
+# the whole XLA-strategy pipeline: a 2-input digitize cost ~1.8 s per 1e7
+# elements while the scatter bincount itself took 0.08-0.12 s,
+# scripts/fused_midslot_probe.py). The branchless compare-sum
+# ``idx = sum(a >= edges)`` computes the identical count (side='right'
+# insertion = number of edges <= a) as a VPU-vectorized reduce instead.
+# It is O(n_edges)/element, so beyond ~2^13 edges the log-cost gather
+# search wins back; below, compare-sum is orders faster.
+_CMP_EDGE_LIMIT = 8192
+# elements x edges budget for one compare block (bounds the broadcast
+# intermediate if XLA declines to fuse the compare into the reduce)
+_CMP_BLOCK_ELEMS = 1 << 24
+# override: "auto" (TPU only), "1" (always), "0" (never) — "1" lets the
+# CPU-backend test suite pin compare-sum/searchsorted parity
+_CMP_MODE = os.environ.get("XHIST_DIGITIZE_CMP", "auto")
+if _CMP_MODE not in ("auto", "0", "1"):
+    raise ValueError(
+        f"XHIST_DIGITIZE_CMP must be 'auto', '0' or '1', got {_CMP_MODE!r}"
+    )
+
+# Beyond the compare-sum edge limit the XLA path can still avoid the
+# searchsorted gather search when the input carries a uniform-spacing
+# certificate: the kernels' O(1) arithmetic/DS digitize is pure jnp and
+# runs under plain XLA with the same bit-exactness guarantees (the DS op
+# sequence is FMA/contraction-independent by construction and the whole
+# kernel suite already executes it under XLA:CPU in interpret mode).
+# Consuming the certificate bakes its values into the jit cache key (one
+# trace per grid) — worth it only where the alternative is the ~180
+# ns/element searchsorted, hence the same edge threshold. Same override
+# semantics as XHIST_DIGITIZE_CMP ("1" lets CPU tests pin parity).
+_XLA_UNI_MODE = os.environ.get("XHIST_XLA_UNIFORM", "auto")
+if _XLA_UNI_MODE not in ("auto", "0", "1"):
+    raise ValueError(
+        "XHIST_XLA_UNIFORM must be 'auto', '0' or '1', got "
+        f"{_XLA_UNI_MODE!r}"
+    )
+
+
+def uniform_wanted_xla(form, n_edges, n_hi_clip):
+    """Whether the XLA digitize should consume this input's uniform
+    certificate (mirrored by core._uniform_static_key so the jit cache key
+    keeps exactly the certificate values the trace reads)."""
+    if form is None or len(form) < 2:
+        return False  # absent, or a static-key tier placeholder
+    if n_hi_clip:
+        return False  # top-value clip correction not modeled by the O(1) form
+    if _XLA_UNI_MODE == "0":
+        return False
+    if _XLA_UNI_MODE == "1":
+        return True
+    return jax.default_backend() == "tpu" and n_edges > _CMP_EDGE_LIMIT
+
+
+def _compare_sum_right(a, edges, dtype):
+    """``searchsorted(edges, a, side='right')`` as a blocked broadcast
+    compare-sum — bit-identical by construction (same comparisons under the
+    same dtype promotion; only the counting differs)."""
+    n_edges = edges.shape[0]
+    flat = a.reshape(-1)
+    n = flat.shape[0]
+    block = max(1, _CMP_BLOCK_ELEMS // n_edges)
+    if n <= block:
+        return (
+            (flat[:, None] >= edges[None, :])
+            .sum(axis=1, dtype=dtype)
+            .reshape(a.shape)
+        )
+    steps = -(-n // block)
+    pad = steps * block - n
+    if pad:
+        flat = jnp.concatenate([flat, jnp.broadcast_to(edges[:1], (pad,))])
+
+    def one_block(ab):
+        return (ab[:, None] >= edges[None, :]).sum(axis=1, dtype=dtype)
+
+    idx = jax.lax.map(one_block, flat.reshape(steps, block))
+    return idx.reshape(-1)[:n].reshape(a.shape)
 
 
 def digitize_edges(a, edges, dtype=jnp.int32, n_hi_clip=0):
@@ -60,7 +141,15 @@ def digitize_edges(a, edges, dtype=jnp.int32, n_hi_clip=0):
     # XLA:TPU comparisons flush subnormal operands to ±0, which would move
     # a negative-subnormal value across a t == 0.0 threshold.
     a = fix_neg_subnormals(a)
-    idx = jnp.searchsorted(edges, a, side="right").astype(dtype)
+    use_cmp = _CMP_MODE == "1" or (
+        _CMP_MODE == "auto"
+        and jax.default_backend() == "tpu"
+        and n_edges <= _CMP_EDGE_LIMIT
+    )
+    if use_cmp:
+        idx = _compare_sum_right(a, edges, dtype)
+    else:
+        idx = jnp.searchsorted(edges, a, side="right").astype(dtype)
     if n_hi_clip:
         if jnp.issubdtype(a.dtype, jnp.floating):
             top = jnp.asarray(jnp.inf, a.dtype)

@@ -206,16 +206,23 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     """
     n_real = math.prod(int(b) for b in nbins)
     n_slots = n_real + 1
-    # The n1-chunked factored kernel handles any grid; the cap is where the
-    # O(slots)/element MXU work approaches the XLA-sort fallback. Measured:
-    # unweighted crossover ~32M slots (r2 scripts/cliff_perf.py: 4.9x sort
-    # at 4.2M, 2.3x at 16.8M) — cap 2^25 ≈ the crossover; weighted (r3
-    # scripts/r3_caps.py): 5.6x sort at 4.2M, 4.1x at 8.4M, and the sort
-    # fallback CRASHES the TPU runtime at 16.8M where fused still runs —
-    # cap 2^24. The edge cap bounds the O(Σ n_edges) VPU digitize
-    # (fori-loop body, flat compile time; measured 40x sort at 4k edges,
-    # 4.7x at 32k — the cap).
-    slot_cap = (1 << 24) if weighted else (1 << 25)
+    # Full-reduction factored cap: the kernel's O(slots)/element MXU work
+    # hits a wall the XLA scatter fallback (O(1)/element serial updates,
+    # ~flat 0.2-0.6 GB/s once the compare-sum digitize removed the
+    # searchsorted tax) does not. Measured pipeline-vs-pipeline at c=1e7
+    # (scripts/fused_midslot_probe.py, r3): unweighted fused 0.38 GB/s at
+    # 1.05M slots vs scatter ~0.2-0.4 (tie band 1-4M; fused 0.109 vs
+    # scatter 0.117 at 4.2M) — cap 2^21; weighted fused 0.66 at 2^18 vs
+    # scatter ~0.5, 0.52 vs 0.59 at 330k, 0.033 vs 0.255 at 4.2M — cap
+    # 2^18. (The r2-era sort fallback measured 0.003-0.006 GB/s and
+    # crashed the worker at 16.8M weighted; scatter replaced it in the
+    # auto rule, ops/bincount.py.) Kept-row regimes keep the old caps:
+    # their fused kernels run 10-100x the XLA fallback (packed ~1000x)
+    # and the 2^28-element output bound limits them anyway.
+    full_cap = (1 << 18) if weighted else (1 << 21)
+    kept_cap = (1 << 24) if weighted else (1 << 25)
+    # The edge cap bounds the O(Σ n_edges) VPU digitize (fori-loop body,
+    # flat compile time; measured 40x sort at 4k edges, 4.7x at 32k).
     # per-input digitize cost: ~25 VPU ops with a uniform-spacing
     # certificate (arithmetic digitize, r3 — measured 13-25x on 4k-16k
     # edge configs) vs 2 ops/edge for the compare chain — certified
@@ -260,13 +267,19 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
             uni0 and nbins[0] > uni0_min_bins
         ):
             return "one_input"
-        if n_slots > slot_cap or not edges_ok:
+        if not edges_ok:
             return None
+        # joint2's per-element cost is O(nb_a + nb_b) (one compare chain per
+        # axis, not per slot), so the factored full_cap does NOT apply to it
+        # — its own gate bounds it at ~590k slots, all of which it wins
+        # (13.5 GB/s at 95k slots vs scatter's ~0.5).
         if (
             n_inputs == 2
             and _round_up(nbins[0], _SUB) + _round_up(nbins[1], _SUB) <= 1536
         ):
             return "joint2"
+        if n_slots > full_cap:
+            return None
         return "factored"
 
     # Kept rows: every pallas branch materializes (m, PADDED slots) output
@@ -292,7 +305,7 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     # at 256 slots, 7x at 7200 — scripts/perrow_perf.py) as long as the
     # reduce axis is wide enough to fill its per-row tiles
     if (
-        n_slots <= slot_cap // 2
+        n_slots <= kept_cap // 2
         and edges_ok
         and (c is None or c >= 256)
         and m > 1
@@ -307,7 +320,7 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     # the gate and the dispatcher drift apart under the XHIST_PACKED_TM knob.
     tm = _packed_tm()
     rpt = tm // _fold_factor(m, c if c is not None else 1)
-    if rpt * n_slots <= slot_cap and edges_ok and m > 1:
+    if rpt * n_slots <= kept_cap and edges_ok and m > 1:
         return "factored_packed"
     return None
 
