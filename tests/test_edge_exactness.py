@@ -101,3 +101,26 @@ def test_int_edges_closed_last_bin():
     edges = np.array([0, 5, 10], dtype=np.int32)
     h, _ = histogram(data, bins=edges)
     np.testing.assert_array_equal(np.asarray(h), np.histogram(data, bins=edges)[0])
+
+
+def test_traced_caller_subnormal_threshold_edges():
+    """A traced (jitted) caller with subnormal comparison thresholds must
+    NOT be routed to the host-only exact remap — tracers cannot leave the
+    device (regression: the r3 _prepare_device refactor dropped
+    ftz_exact_fallback's isinstance(ndarray) guard and raised
+    TracerArrayConversionError here). On the CPU backend the device path
+    is exact, so counts still match numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    edges = np.array([-1.0, -1e-39, 0.0, 1.0])  # -1e-39: subnormal f32
+    data = np.linspace(-1, 1, 16).astype("f4")
+
+    f = jax.jit(lambda x: histogram(x, bins=edges)[0])
+    out = np.asarray(f(jnp.asarray(data)))
+    exp = np.histogram(data.astype("f8"), bins=edges)[0]
+    np.testing.assert_array_equal(out, exp)
+
+    # concrete numpy input with the same edges keeps the exact host path
+    h, _ = histogram(data, bins=edges)
+    np.testing.assert_array_equal(np.asarray(h), exp)

@@ -333,3 +333,29 @@ def test_sharded_unconsumed_certificates_share_one_trace():
             np.asarray(h), np.histogram(data.astype("f8"), bins=edges)[0]
         )
     assert _sharded_impl._cache_size() - before == 1
+
+
+def test_sharded_above_cap_scatter_route():
+    """Joint grids above the full-reduction slot caps route to the XLA
+    scatter fallback INSIDE the shard_map body; partials + psum must still
+    match the numpy oracle (r3 scatter-fallback revision)."""
+    rng = np.random.RandomState(33)
+    a = rng.randn(8, 1024).astype("f4")
+    b = rng.randn(8, 1024).astype("f4")
+    w = rng.rand(8, 1024).astype("f4")
+    # 1024x520 weighted = 532k slots > 2^18 (and past the joint2 gate):
+    # above the weighted full-reduction cap
+    ea = np.linspace(-4, 4, 1025)
+    eb = np.linspace(-4, 4, 521)
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    assert ph.plan(2, (1024, 520), 1, weighted=True) is None
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        a, b, mesh=mesh, in_spec=P("x", "y"), bins=[ea, eb], weights=w
+    )
+    exp = np.histogram2d(
+        a.ravel().astype("f8"), b.ravel().astype("f8"),
+        bins=[ea, eb], weights=w.ravel().astype("f8"),
+    )[0]
+    np.testing.assert_allclose(np.asarray(h), exp, rtol=1e-4)

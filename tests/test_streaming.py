@@ -235,6 +235,9 @@ def test_streaming_blocks_property_mid_stream():
         np.histogram(r.astype("f8"), bins=bins9)[0] for r in x0
     ])
     np.testing.assert_array_equal(blocks[(3,)], exp0)
+    # views are read-only: the live accumulators back them
+    with pytest.raises(ValueError):
+        blocks[(3,)][0, 0] = 99
     # completing the tiling makes counts/result available again
     acc.update(rng.randn(3, 10).astype("f4"), kept_offset=(0,))
     assert acc.counts.shape == (5, len(bins9) - 1)

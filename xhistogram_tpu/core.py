@@ -211,14 +211,19 @@ def _prepare_device(args, edges_np):
     for i, (a, e) in enumerate(zip(args, edges_np)):
         v = device_view(a)
         # one compare_form per input: the FTZ check below is
-        # ftz_exact_fallback's predicate applied to the same form (the
-        # shared-policy function stays the labeled cache's entry point)
+        # ftz_exact_fallback's predicate applied to the same form — incl.
+        # its isinstance(ndarray) guard: the exact host remap can only run
+        # on concrete values, so jax arrays / tracers stay on the device
+        # path (exact on CPU; the labeled cache refuses to cache
+        # FTZ-unsafe edge sets for the same reason, labeled/api.py)
         ce = (
             _bins_mod.compare_form(e, _device_dtype(v))
             if v is not None
             else None
         )
-        if ce is None or _ftz_unsafe_edges(ce):
+        if ce is None or (
+            isinstance(v, np.ndarray) and _ftz_unsafe_edges(ce)
+        ):
             args[i], code_edges = _exact_rank_codes(a, e)
             ce = _bins_mod.CompareEdges(code_edges, 0)
         else:
@@ -258,15 +263,13 @@ def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
         return uniform
     if _os.environ.get("XHIST_FORCE_KERNEL"):
         return uniform  # probe knob may force a consuming kernel
+    from .ops.pallas_hist import UNIFORM_CONSUMERS, auto_gate, planned_kernel
+
     consumed = False
     xla_route = method in ("scatter", "onehot", "sort")
     if method == "pallas" or (
-        method == "auto"
-        and jax.default_backend() == "tpu"
-        and not any(n_hi_clip)
-        and not int_weights
+        method == "auto" and auto_gate(n_hi_clip, int_weights)
     ):
-        from .ops.pallas_hist import UNIFORM_CONSUMERS, planned_kernel
 
         kshape = kept_shape(shape, axis_t)
         if kshape == ():
@@ -382,17 +385,19 @@ def _histogram_impl(
         ``parts_2d`` layout either way.
         """
         mth = method
-        if mth == "auto" and jax.default_backend() == "tpu":
+        if mth == "auto":
             # On TPU the fused Pallas kernels beat every XLA strategy by 1-2
             # orders of magnitude (measured; see BASELINE.md) — use them
             # whenever the problem shape fits their VMEM envelopes.
+            # auto_gate is the shared pre-gate (backend/n_hi_clip/int
+            # weights) the jit-cache-key mirror also consumes.
+            from .ops.pallas_hist import auto_gate as _auto_gate
             from .ops.pallas_hist import supports as _pallas_supports
 
             m_eff = 1 if nat_views is not None else parts_2d[0].shape[0]
             c_eff = None if nat_views is not None else parts_2d[0].shape[1]
             if (
-                not any(n_hi_clip)
-                and not int_weights
+                _auto_gate(n_hi_clip, int_weights)
                 and _pallas_supports(
                     len(parts_2d),
                     nbins,

@@ -106,16 +106,20 @@ def _compare_sum_right(a, edges, dtype):
             .sum(axis=1, dtype=dtype)
             .reshape(a.shape)
         )
-    steps = -(-n // block)
-    pad = steps * block - n
-    if pad:
-        flat = jnp.concatenate([flat, jnp.broadcast_to(edges[:1], (pad,))])
-
     def one_block(ab):
         return (ab[:, None] >= edges[None, :]).sum(axis=1, dtype=dtype)
 
-    idx = jax.lax.map(one_block, flat.reshape(steps, block))
-    return idx.reshape(-1)[:n].reshape(a.shape)
+    # Full blocks via lax.map; the ragged tail is its own (smaller) block —
+    # padding the input instead would materialize a full-array copy on the
+    # hot path (the hidden-pad-copy class the r3 kernels eliminated).
+    steps = n // block
+    tail = n - steps * block
+    main = jax.lax.map(one_block, flat[: steps * block].reshape(steps, block))
+    parts = [main.reshape(-1)]
+    if tail:
+        parts.append(one_block(flat[steps * block :]))
+    idx = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return idx.reshape(a.shape)
 
 
 def digitize_edges(a, edges, dtype=jnp.int32, n_hi_clip=0):

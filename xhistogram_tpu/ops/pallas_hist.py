@@ -358,6 +358,20 @@ UNIFORM_CONSUMERS = frozenset(
 )
 
 
+def auto_gate(n_hi_clip, int_weights):
+    """``method='auto'`` pallas eligibility pre-gate (backend + exactness
+    constraints that hold regardless of shape): shared by core's dispatch
+    (``_count_once``) and its jit-cache-key mirror
+    (``core._uniform_static_key``) so the two cannot drift — a desynced
+    mirror would substitute tier placeholders that a consuming kernel then
+    fails to unpack."""
+    return (
+        jax.default_backend() == "tpu"
+        and not any(n_hi_clip)
+        and not int_weights
+    )
+
+
 def planned_kernel(n_inputs, nbins, m, c=None, weighted=False,
                    weights_dtype=None, uniform=None, forced=False):
     """The kernel ``_dispatch`` would run for this shape (None = XLA

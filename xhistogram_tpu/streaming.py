@@ -201,13 +201,20 @@ class StreamingHistogram:
     @property
     def blocks(self):
         """Per-kept-offset accumulated host blocks (dict: offset tuple →
-        int64/float64 array), or None before any update. Always available
-        mid-stream — use this for progress monitoring or checkpointing
-        while the streamed kept-axis blocks do not yet tile the output
-        (``counts`` raises in that state)."""
+        read-only int64/float64 array view), or None before any update.
+        Always available mid-stream — use this for progress monitoring or
+        checkpointing while the streamed kept-axis blocks do not yet tile
+        the output (``counts`` raises in that state). Views are read-only:
+        the live accumulators back them, so in-place edits would corrupt
+        every subsequent result."""
         if self._blocks is None:
             return None
-        return dict(self._blocks)
+        out = {}
+        for off, arr in self._blocks.items():
+            v = arr.view()
+            v.flags.writeable = False
+            out[off] = v
+        return out
 
     @property
     def counts(self):
