@@ -61,10 +61,19 @@ def one_case(rng, case_idx, methods):
     edges = []
     for a in arrays:
         ne = rng.randint(2, 7)
-        if rng.rand() < 0.5:
+        r = rng.rand()
+        if r < 0.35:
             e = np.sort(rng.uniform(-15, 15, ne))
-        else:
+        elif r < 0.7:
             e = np.sort(rng.randint(-20, 20, ne)).astype("i8")
+        else:
+            # uniform (often certifiable) grid — exercises the arithmetic/
+            # DS digitize tiers and, with the XLA knobs forced, the
+            # compare-sum / jnp-uniform XLA digitize routes
+            ne = rng.randint(2, 260)
+            e = np.linspace(
+                rng.uniform(-20, 0), rng.uniform(0.5, 20), ne
+            )
         while len(np.unique(e)) < 2:
             e = np.sort(rng.uniform(-15, 15, ne))
         edges.append(e)

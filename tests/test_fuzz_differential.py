@@ -26,3 +26,18 @@ def test_fuzz_slice(seed):
     methods = ["auto", "scatter", "onehot", "sort", "pallas"]
     for i in range(20):
         assert fuzz.one_case(rng, i, methods), f"seed={seed} case={i}"
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+def test_fuzz_slice_forced_xla_digitize(seed, monkeypatch):
+    """Same differential fuzz with the TPU XLA digitize routes forced on
+    (compare-sum + jnp uniform-certificate digitize) — CPU-backend parity
+    for the code paths the auto rule only enables on TPU."""
+    from xhistogram_tpu.ops import digitize as dg
+
+    monkeypatch.setattr(dg, "_CMP_MODE", "1")
+    monkeypatch.setattr(dg, "_XLA_UNI_MODE", "1")
+    rng = np.random.RandomState(seed)
+    methods = ["auto", "scatter", "sort"]
+    for i in range(15):
+        assert fuzz.one_case(rng, i, methods), f"seed={seed} case={i}"
