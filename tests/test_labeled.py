@@ -202,3 +202,27 @@ def test_align_exact_raises():
     b = NamedArray(np.ones((5, 4)), ("x", "y"), name="b")
     with pytest.raises(ValueError, match="align"):
         histogram(a, b, bins=[np.linspace(0, 2, 3)] * 2)
+
+
+def test_labeled_above_cap_scatter_route():
+    """Labeled joint call whose grid exceeds the full-reduction slot caps:
+    the XLA scatter fallback runs inside the cached labeled pipeline and
+    matches the numpy oracle (r3 scatter-fallback revision)."""
+    rng = np.random.RandomState(50)
+    a = NamedArray(rng.randn(6, 500).astype("f4"), ("t", "x"), name="a")
+    b = NamedArray(rng.randn(6, 500).astype("f4"), ("t", "x"), name="b")
+    ea = np.linspace(-4, 4, 1025)
+    eb = np.linspace(-4, 4, 521)  # 1024x520 = 532k slots: above both caps
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    assert ph.plan(2, (1024, 520), 1, weighted=True) is None
+    w = NamedArray(rng.rand(6, 500).astype("f4"), ("t", "x"))
+    h = histogram(a, b, bins=[ea, eb], weights=w)
+    exp = np.histogram2d(
+        np.asarray(a.data).ravel().astype("f8"),
+        np.asarray(b.data).ravel().astype("f8"),
+        bins=[ea, eb],
+        weights=np.asarray(w.data).ravel().astype("f8"),
+    )[0]
+    np.testing.assert_allclose(np.asarray(h.data), exp, rtol=1e-4)
+    assert h.dims == ("a_bin", "b_bin")
