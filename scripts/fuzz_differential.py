@@ -87,6 +87,11 @@ def one_case(rng, case_idx, methods):
     if rng.rand() < 0.5:
         weights = rng.rand(*shape).astype("f4") * 3
     density = rng.rand() < 0.3 and weights is None
+    # per-call weighted precision (the i8 modes' absolute-error bounds need
+    # their own tolerances; they keep dedicated tests)
+    precision = None
+    if weights is not None and rng.rand() < 0.5:
+        precision = str(rng.choice(["split", "highest"]))
 
     exp = oracle(arrays, edges, axis, weights, density)
     fails = []
@@ -94,7 +99,7 @@ def one_case(rng, case_idx, methods):
         try:
             h, _ = histogram(
                 *arrays, bins=edges, axis=axis, weights=weights,
-                density=density, method=method,
+                density=density, method=method, precision=precision,
             )
         except NotImplementedError:
             continue
@@ -108,7 +113,7 @@ def one_case(rng, case_idx, methods):
     if fails:
         print(f"FAIL case {case_idx}: shape={shape} n={n_inputs} "
               f"dtype={dtype} axis={axis} w={weights is not None} "
-              f"d={density} edges={[list(e) for e in edges]}")
+              f"d={density} prec={precision} edges={[list(e) for e in edges]}")
         for method, got, exp2 in fails:
             print(f"  {method}: got {got.ravel()[:10]} exp {exp2.ravel()[:10]}")
         return False

@@ -162,7 +162,37 @@ def main():
         ok &= check("i8 direct weighted", [d(16, 64), d(16, 64)],
                     [e(41), e(41)], (1,), w(16, 64), atol=2e-3)
     finally:
-        ph._WEIGHTED_MODE = "auto"
+        ph._WEIGHTED_MODE = "split"  # the real default ("auto" is not a
+        # mode: it would fall through _weighted_dot to the highest branch)
+        jax.clear_caches()
+
+    # highest weighted mode (three-limb bf16 split, per-weight exact):
+    # the stacked 3-section concat + limb arithmetic is a distinct Mosaic
+    # op mix — prove its lowering here, and its exactness on a
+    # one-element-per-bin layout (each slot = one weight, bit-equal)
+    jax.clear_caches()
+    ph._WEIGHTED_MODE = "highest"
+    try:
+        ok &= check("highest joint2 weighted", [d(2, 5000), d(2, 5000)],
+                    [e(281), e(341)], None, w(2, 5000), atol=1e-5)
+        ok &= check("highest one_input weighted", [d(16, 500)], [e(65)],
+                    (1,), w(16, 500), atol=1e-5)
+        eds_1 = e(1025)
+        cents = (0.5 * (eds_1[:-1] + eds_1[1:])).astype("f4").reshape(1, -1)
+        wex = w(1, 1024)
+        try:
+            h, _ = histogram(cents, bins=[eds_1], weights=wex,
+                             method="pallas")
+            good = np.array_equal(np.asarray(h), wex.ravel())
+            print(f"{'OK  ' if good else 'FAIL'} highest bit-exact "
+                  f"single-weight-per-bin")
+            ok &= good
+        except Exception as exc:
+            print(f"FAIL highest bit-exact: {type(exc).__name__}: "
+                  f"{str(exc)[:120]}")
+            ok = False
+    finally:
+        ph._WEIGHTED_MODE = "split"
         jax.clear_caches()
 
     # double-single uniform digitize (generic linspace grids) ON THE CHIP:

@@ -135,3 +135,23 @@ def test_cache_x64_preserves_float64():
     finally:
         jax.config.update("jax_enable_x64", False)
         api._PIPELINE_CACHE.clear()  # do not leak x64-traced pipelines
+
+
+def test_cache_precision_in_key():
+    """Per-call precision= must fork the pipeline cache (and deliver each
+    mode's numerics): same shapes + edges, different precision, back to
+    back."""
+    api._PIPELINE_CACHE.clear()
+    edges = np.linspace(-4, 4, 1025)
+    centers = (0.5 * (edges[:-1] + edges[1:])).astype("f4")
+    rng = np.random.RandomState(3)
+    w = rng.uniform(0.5, 2.0, size=centers.shape).astype("f4")
+    a = NamedArray(centers, ("x",), name="T")
+    wa = NamedArray(w, ("x",))
+    h_hi = histogram(a, bins=edges, weights=wa, method="pallas",
+                     precision="highest")
+    h_sp = histogram(a, bins=edges, weights=wa, method="pallas",
+                     precision="split")
+    assert len(api._PIPELINE_CACHE) == 2
+    np.testing.assert_array_equal(np.asarray(h_hi.values), w)
+    assert not np.array_equal(np.asarray(h_sp.values), w)

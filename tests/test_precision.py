@@ -62,6 +62,56 @@ def test_highest_mode_weighted_end_to_end(monkeypatch):
     np.testing.assert_allclose(np.asarray(h)[: 9], expected, rtol=3e-7)
 
 
+def test_highest_three_limb_decomposition_exact():
+    """The 'highest' kernel represents each f32 weight as three bf16 limbs;
+    hi + mid + lo must reconstruct the weight BIT-exactly (the residual
+    subtractions are error-free and the final residual fits bf16's 8-bit
+    mantissa) for the full range of normal f32 values."""
+    rng = np.random.RandomState(7)
+    # full 24-bit mantissas across a wide exponent range, plus specials
+    m = rng.randint(1 << 23, 1 << 24, size=4096).astype(np.float32)
+    e = np.ldexp(1.0, rng.randint(-100, 100, size=4096)).astype(np.float32)
+    w = np.concatenate(
+        [m * e * np.where(rng.rand(4096) < 0.5, -1, 1).astype(np.float32),
+         np.array([0.0, -0.0, 1.0, np.float32(2**-126)], dtype=np.float32)]
+    )
+    wf = jnp.asarray(w)
+    hi = wf.astype(jnp.bfloat16)
+    r1 = wf - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    back = (
+        hi.astype(jnp.float32)
+        + mid.astype(jnp.float32)
+        + lo.astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(back), w)
+
+
+def test_highest_mode_bit_exact_single_weight_per_bin(monkeypatch):
+    """One element per bin ⇒ every output slot is a SINGLE weight, so the
+    result must be BIT-exact in 'highest' mode (per-weight-exact three-limb
+    bf16 representation; no accumulation rounding can enter). Split mode's
+    ~17-bit representation demonstrably differs on the same inputs."""
+    import jax
+
+    edges = np.linspace(-4, 4, 1025)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    data = centers.astype("f4").reshape(1, -1)
+    rng = np.random.RandomState(11)
+    w = rng.uniform(0.5, 2.0, size=data.shape).astype("f4")
+
+    jax.clear_caches()
+    monkeypatch.setattr(ph, "_WEIGHTED_MODE", "highest")
+    h, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    np.testing.assert_array_equal(np.asarray(h), w.ravel())
+
+    jax.clear_caches()
+    monkeypatch.setattr(ph, "_WEIGHTED_MODE", "split")
+    h2, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    assert not np.array_equal(np.asarray(h2), w.ravel())
+
+
 def test_default_mode_documented_tolerance():
     """The default mode is split (~17-bit weight representation, relative
     ~4e-6 per weight); generic weights must meet its tolerance."""
@@ -142,6 +192,55 @@ def test_split_mode_documented_tolerance(monkeypatch):
     expected = np.histogram(data.ravel(), bins=edges,
                             weights=w.ravel().astype("f8"))[0]
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
+
+
+def test_per_call_precision_kwarg():
+    """precision= selects the weighted mode per call (no env/global flips,
+    no stale-cache hits: the mode is a static jit argument). 'highest' on a
+    one-element-per-bin layout is bit-exact; 'split' on the same inputs is
+    not; both called back-to-back must each behave per their own mode."""
+    assert ph._WEIGHTED_MODE == "split"
+    edges = np.linspace(-4, 4, 1025)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    data = centers.astype("f4").reshape(1, -1)
+    rng = np.random.RandomState(21)
+    w = rng.uniform(0.5, 2.0, size=data.shape).astype("f4")
+
+    h_hi, _ = histogram(data, bins=edges, weights=w, method="pallas",
+                        precision="highest")
+    h_sp, _ = histogram(data, bins=edges, weights=w, method="pallas",
+                        precision="split")
+    h_default, _ = histogram(data, bins=edges, weights=w, method="pallas")
+    np.testing.assert_array_equal(np.asarray(h_hi), w.ravel())
+    assert not np.array_equal(np.asarray(h_sp), w.ravel())
+    np.testing.assert_array_equal(np.asarray(h_default), np.asarray(h_sp))
+    # and again in the other order — per-call modes must not leak through
+    # any cache
+    h_hi2, _ = histogram(data, bins=edges, weights=w, method="pallas",
+                         precision="highest")
+    np.testing.assert_array_equal(np.asarray(h_hi2), w.ravel())
+
+
+def test_per_call_precision_invalid():
+    data = np.zeros((2, 8), "f4")
+    w = np.ones((2, 8), "f4")
+    with pytest.raises(ValueError, match="precision"):
+        histogram(data, bins=np.linspace(-1, 1, 5), weights=w,
+                  precision="exact")
+
+
+def test_per_call_precision_i8_bound():
+    rng = np.random.RandomState(5)
+    data = rng.uniform(-3.5, 3.5, size=(8, 2048)).astype("f4")
+    w = (rng.rand(8, 2048) * 10).astype("f4")
+    edges = np.linspace(-4, 4, 10)
+    h, _ = histogram(data, bins=edges, weights=w, method="pallas",
+                     precision="i8")
+    expected = np.histogram(data.ravel(), bins=edges,
+                            weights=w.ravel().astype("f8"))[0]
+    np.testing.assert_allclose(
+        np.asarray(h), expected, atol=3e-5 * 10 * 2048 * 8 / 9, rtol=1e-3
+    )
 
 
 def test_i8x3_mode_precision_bound(monkeypatch):

@@ -244,7 +244,8 @@ def _prepare_device(args, edges_np):
 
 
 def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
-                        has_weights, weights_dtype, n_hi_clip, int_weights):
+                        has_weights, weights_dtype, n_hi_clip, int_weights,
+                        weighted_mode=None):
     """Reduce the uniform certificates to the smallest static jit key.
 
     The certificates enter ``_histogram_impl`` as STATIC args, so every
@@ -286,6 +287,7 @@ def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
             weights_dtype=weights_dtype,
             uniform=uniform,
             forced=method == "pallas",
+            wmode=weighted_mode,
         )
         consumed = kernel in UNIFORM_CONSUMERS
         xla_route = kernel is None and method != "pallas"
@@ -406,6 +408,7 @@ def _histogram_impl(
                     c=c_eff,
                     weights_dtype=weights_2d.dtype if has_weights else None,
                     uniform=uniform,
+                    wmode=weighted_mode,
                 )
             ):
                 mth = "pallas"
@@ -539,6 +542,7 @@ def histogram(
     density=False,
     block_size="auto",
     method="auto",
+    precision=None,
 ):
     """Histogram applied along specified axis / axes.
 
@@ -568,6 +572,15 @@ def histogram(
         core.py:86-134).
     method : 'auto' | 'scatter' | 'onehot' | 'sort' | 'pallas'
         Counting strategy (see ops.bincount / ops.pallas_hist).
+    precision : None | 'split' | 'highest' | 'i8' | 'i8x3'
+        Per-call weighted-sum precision mode for the pallas kernels
+        (None = the ``XHIST_WEIGHTED_PRECISION`` env default, 'split').
+        'split' ≈ 17-bit weight representation (relative ~4e-6);
+        'highest' is per-weight exact with Kahan cross-tile totals;
+        'i8'/'i8x3' trade ABSOLUTE error bounds for int8-MXU speed (see
+        ops/pallas_hist.py). Ignored for unweighted calls (counts are
+        exact in every mode) and for the XLA strategies (whose scatter
+        adds are plain f32).
 
     Returns
     -------
@@ -634,12 +647,17 @@ def histogram(
                 )
             wide_limit = _WIDE_LIMIT
 
-    # Weighted-precision mode: the env default ('split' unless overridden).
-    # r3 measured the faster-MXU i8x3 candidate speed-neutral on chip (its
-    # third quantize-lhs VPU build eats the MXU saving), so there is no
-    # auto-upgrade — callers pick i8x3/i8/highest explicitly via
-    # XHIST_WEIGHTED_PRECISION when their error model allows it.
-    weighted_mode = None
+    # Weighted-precision mode: per-call kwarg, else the env default
+    # ('split' unless overridden). r3 measured the faster-MXU i8x3
+    # candidate speed-neutral on chip (its third quantize-lhs VPU build
+    # eats the MXU saving), so there is no auto-upgrade — callers pick
+    # i8x3/i8/highest explicitly when their error model allows it. The
+    # mode is a static jit argument, so per-call selection is cache-safe.
+    if precision is not None:
+        from .ops.pallas_hist import _resolve_wmode
+
+        _resolve_wmode(precision)  # validate eagerly
+    weighted_mode = precision
 
     # Bin areas for density come from the original (untransformed) edges.
     bin_area = (
@@ -662,6 +680,7 @@ def histogram(
         n_hi_clip,
         weights is not None
         and jnp.issubdtype(weights_b.dtype, jnp.integer),
+        weighted_mode=weighted_mode,
     )
 
     h = _histogram_impl(

@@ -138,7 +138,7 @@ def _device_safe(x):
 
 
 def _cached_pipeline(key, edges_np, plans, axis, density, block_size, method,
-                     weighted):
+                     weighted, precision):
     """One jitted function per configuration: layout + broadcast + count in
     a single device program, edges baked in as compile-time constants."""
     entry = _PIPELINE_CACHE.get(key)
@@ -158,6 +158,7 @@ def _cached_pipeline(key, edges_np, plans, axis, density, block_size, method,
             density=density,
             block_size=block_size,
             method=method,
+            precision=precision,
         )
         return h
 
@@ -182,12 +183,15 @@ def histogram(
     method="auto",
     keep_coords=False,
     bin_dim_suffix="_bin",
+    precision=None,
 ):
     """Histogram of labeled arrays over named dimensions.
 
     Parameters mirror the reference (xarray.py:13-23); ``dim`` is a sequence
-    of dimension names to reduce (default: all). Returns a ``NamedArray``
-    (counts/weighted sums/density) with bin-center coordinates.
+    of dimension names to reduce (default: all). ``precision`` selects the
+    per-call weighted-precision mode (see ``core.histogram``). Returns a
+    ``NamedArray`` (counts/weighted sums/density) with bin-center
+    coordinates.
     """
     inputs = list(args)
     n_inputs = len(inputs)
@@ -255,10 +259,11 @@ def histogram(
             block_size,
             method,
             weights is not None,
+            precision,
         )
         run = _cached_pipeline(
             key, edges_np, plans, axis, density, block_size, method,
-            weights is not None,
+            weights is not None, precision,
         )
         h_data = run(*safe)
         edges = edges_np
@@ -276,6 +281,7 @@ def histogram(
             density=density,
             block_size=block_size,
             method=method,
+            precision=precision,
         )
 
     return _relabel(

@@ -137,7 +137,12 @@ def _onehot_dtypes():
 #       precision option, not a speed one.
 #   "i8": two int8 limbs (fastest, ~+20%; ~3e-5 x max|tile weight| —
 #       opt-in lossy).
-#   "highest": full-f32 MXU passes + Kahan (exact, ~5x unweighted cost).
+#   "highest": three-limb bf16 split (per-weight EXACT: 3x8 mantissa bits
+#       cover f32's 24; every residual subtraction error-free) + Kahan
+#       cross-tile accumulation ⇒ 3 bf16 sections, ~1.5x split's cost.
+#       Replaced r3's-end f32-HIGHEST matmul (~6 bf16 passes, measured
+#       ~5x split) with identical error model: exact products, f32
+#       per-tile accumulation, O(1)-ulp cross-tile totals.
 # The resolved mode is threaded through the kernel stack as a static
 # argument (one jit trace per mode — module globals are NOT part of the
 # jit key, so per-call selection must not mutate them).
@@ -153,7 +158,13 @@ if _WEIGHTED_MODE not in _WEIGHTED_MODES:
 def _resolve_wmode(wmode):
     """Resolve a per-call mode request against the env default (``None``
     = no caller preference)."""
-    return wmode or _WEIGHTED_MODE
+    mode = wmode or _WEIGHTED_MODE
+    if mode not in _WEIGHTED_MODES:
+        raise ValueError(
+            f"weighted precision mode {mode!r}: valid values are "
+            f"{_WEIGHTED_MODES}"
+        )
+    return mode
 
 
 def _weight_rhs_dtype(wmode):
@@ -327,7 +338,7 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
 
 def supports(
     n_inputs, nbins, m, weighted=False, c=None, weights_dtype=None,
-    uniform=None,
+    uniform=None, wmode=None,
 ) -> bool:
     """Whether a Pallas kernel handles this problem shape *efficiently*
     (the dispatcher itself accepts anything; 'auto' uses this to decide
@@ -336,13 +347,15 @@ def supports(
     ``weights_dtype`` (when the caller knows it) sizes the weighted gate
     with the ACTUAL per-slot output count — integer-free/finite-assumed
     configs carry fewer channel accumulators than the conservative
-    worst case, so shapes that fit them are not pushed to XLA."""
+    worst case, so shapes that fit them are not pushed to XLA. ``wmode``
+    is the per-call weighted-precision mode (None = the env default),
+    which sizes the Kahan channel highest mode adds."""
     n_outs = None
     if weighted and weights_dtype is not None:
         faithful = not _ASSUME_FINITE and jnp.issubdtype(
             weights_dtype, jnp.floating
         )
-        n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(None))
+        n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(wmode))
     return (
         plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs,
              uniform=uniform)
@@ -373,7 +386,8 @@ def auto_gate(n_hi_clip, int_weights):
 
 
 def planned_kernel(n_inputs, nbins, m, c=None, weighted=False,
-                   weights_dtype=None, uniform=None, forced=False):
+                   weights_dtype=None, uniform=None, forced=False,
+                   wmode=None):
     """The kernel ``_dispatch`` would run for this shape (None = XLA
     strategies): ``plan()`` plus the explicit-``method='pallas'`` fallback
     (``forced``). Single source of truth for callers that need the routing
@@ -384,7 +398,7 @@ def planned_kernel(n_inputs, nbins, m, c=None, weighted=False,
         faithful = not _ASSUME_FINITE and jnp.issubdtype(
             weights_dtype, jnp.floating
         )
-        n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(None))
+        n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(wmode))
     kernel = plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs,
                   uniform=uniform)
     if kernel is None and forced:
@@ -541,8 +555,9 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
 
     In split mode: bf16 matmuls against the hi/lo weight parts stacked along
     the lhs row axis (one MXU dot_general); i8/i8x3: 2/3 per-tile-scaled
-    int8 limb matmuls at the int8 MXU rate; highest: one full-precision f32
-    matmul (Mosaic supports DEFAULT and HIGHEST only).
+    int8 limb matmuls at the int8 MXU rate; highest: a per-weight-exact
+    THREE-limb bf16 split (see the branch comment — 3 sections replace the
+    former f32 HIGHEST matmul's ~6 bf16 passes with the same error model).
     """
     dn = (((1,), (1,)), ((), ()))
     nrows = oh_lhs_bool.shape[0]
@@ -604,12 +619,36 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
             )
             counts = res[:nrows] + res[nrows:]
     else:
-        lhs = oh_lhs_bool.astype(jnp.float32) * wf
-        counts = jax.lax.dot_general(
-            lhs, rhs_w.astype(jnp.float32), dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # 'highest': per-weight-EXACT three-limb bf16 split. An f32
+        # mantissa (24 bits) decomposes exactly into three bf16 limbs
+        # (8 bits each): hi = RN_bf16(w) leaves a residual with <= 16
+        # significant bits (exact in f32), mid absorbs its top 8, and the
+        # final residual has <= 7 significant bits so lo represents it
+        # exactly. Products against the 0/1 one-hots are exact in bf16 on
+        # both sides, so the stacked 3-section bf16 matmul accumulates
+        # exactly the same per-element values as a true f32 matmul — at
+        # 3 MXU sections instead of the ~6 bf16 passes XLA's f32 HIGHEST
+        # lowering pays (the r2 implementation; measured ~5x split's
+        # 2-section cost). Only exception: residual limbs below the
+        # bf16-subnormal threshold flush on-device — absolute error
+        # < 2^-126 per weight, far below the cross-tile accumulation
+        # noise the Kahan channel already absorbs.
+        lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
+        rhs = (
+            rhs_w
+            if rhs_w.dtype == jnp.bfloat16
+            else rhs_w.astype(jnp.bfloat16)
         )
+        hi = wf.astype(jnp.bfloat16)
+        r1 = wf - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        lhs = jnp.concatenate([lhs_b * hi, lhs_b * mid, lhs_b * lo], axis=0)
+        res = jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        counts = res[:nrows] + res[nrows : 2 * nrows] + res[2 * nrows :]
     return counts, flags
 
 
@@ -653,10 +692,10 @@ def _n_weight_channels(faithful):
 def _weight_lhs_bytes(faithful, wmode):
     """Live lhs bytes per (row, element) across the weighted matmul
     sections for VMEM tile sizing: split two bf16 sections (4 B), i8/i8x3
-    one f32 staging product + 2/3 int8 limbs (6/7 B), highest one f32
-    (4 B); + bf16 channel sections (counted conservatively — they only
-    materialize on poisoned tiles)."""
-    base = {"i8": 6, "i8x3": 7}.get(wmode, 4)
+    one f32 staging product + 2/3 int8 limbs (6/7 B), highest three bf16
+    sections (6 B); + bf16 channel sections (counted conservatively — they
+    only materialize on poisoned tiles)."""
+    base = {"i8": 6, "i8x3": 7, "highest": 6}.get(wmode, 4)
     return base + 2 * _n_weight_channels(faithful)
 
 

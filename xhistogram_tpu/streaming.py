@@ -47,7 +47,7 @@ class StreamingHistogram:
     """
 
     def __init__(self, bins, *, range=None, axis=None, method="auto",
-                 block_size="auto"):
+                 block_size="auto", precision=None):
         bins_list = bins if isinstance(bins, (list, tuple)) else [bins]
         # Accept anything that IS a 1-D sequence of edges (ndarray, or a
         # flat list of floats); reject int/str specs, which need global
@@ -83,6 +83,7 @@ class StreamingHistogram:
         self._axis = axis
         self._method = method
         self._block_size = block_size
+        self._precision = precision
         self._blocks = None  # {kept_offset tuple: host accumulator array}
         self._edges = None
         self._weighted = None  # pinned by the first update()
@@ -116,6 +117,7 @@ class StreamingHistogram:
             density=False,
             method=self._method,
             block_size=self._block_size,
+            precision=self._precision,
         )
         # pin weighted-ness only once the chunk was actually accepted (a
         # failed first update must not poison the accumulator's mode)
