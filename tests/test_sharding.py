@@ -359,3 +359,128 @@ def test_sharded_above_cap_scatter_route():
         bins=[ea, eb], weights=w.ravel().astype("f8"),
     )[0]
     np.testing.assert_allclose(np.asarray(h), exp, rtol=1e-4)
+
+
+def test_sharded_precision_kwarg():
+    """precision= threads through shard_map: 'highest' on a
+    one-element-per-bin layout (each device holds a kept-rows slice) is
+    bit-exact per weight."""
+    edges = np.linspace(-4, 4, 257)
+    centers = (0.5 * (edges[:-1] + edges[1:])).astype("f4")
+    data = np.tile(centers, (8, 1))
+    rng = np.random.RandomState(9)
+    w = rng.uniform(0.5, 2.0, size=data.shape).astype("f4")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("r",))
+
+    h, _ = histogram_sharded(
+        data, mesh=mesh, in_spec=P("r", None), bins=edges, axis=(1,),
+        weights=w, method="pallas", precision="highest",
+    )
+    np.testing.assert_array_equal(np.asarray(h), w)
+
+    h_sp, _ = histogram_sharded(
+        data, mesh=mesh, in_spec=P("r", None), bins=edges, axis=(1,),
+        weights=w, method="pallas", precision="split",
+    )
+    assert not np.array_equal(np.asarray(h_sp), w)
+
+
+class TestShardedWideCounts:
+    """Sharded mirror of the core int64 wide-count contract (reference
+    core.py:363): global reductions >= core._WIDE_LIMIT return exact numpy
+    int64 via psum-overflow-proof uint32-pair halves (ADVICE r2 #1 asked
+    for a guard 'until a sharded wide-count path exists' — this is that
+    path). Tests lower _WIDE_LIMIT/_PAIR_BITS like tests/test_wide_counts."""
+
+    def _mesh(self, n=8):
+        return Mesh(np.array(jax.devices()[:n]).reshape(n), ("r",))
+
+    def test_global_wide_local_narrow(self, monkeypatch):
+        import xhistogram_tpu.core as core_mod
+
+        monkeypatch.setattr(core_mod, "_WIDE_LIMIT", 1 << 12)
+        rng = np.random.RandomState(4)
+        data = rng.randn(8, 1024).astype("f4")  # global 8192 >= 2**12;
+        bins = np.linspace(-3, 3, 9)            # local 1024 stays int32
+        h, _ = histogram_sharded(
+            data, mesh=self._mesh(), in_spec=P("r", None), bins=bins,
+            axis=None,
+        )
+        assert isinstance(h, np.ndarray) and h.dtype == np.int64
+        np.testing.assert_array_equal(
+            h, np.histogram(data.astype("f8"), bins=bins)[0]
+        )
+
+    def test_local_wide_chunked_under_shard_map(self, monkeypatch):
+        import xhistogram_tpu.core as core_mod
+
+        monkeypatch.setattr(core_mod, "_WIDE_LIMIT", 1 << 10)
+        rng = np.random.RandomState(5)
+        data = rng.randn(8, 3000).astype("f4")  # local 3000 >= 2**10:
+        bins = np.linspace(-3, 3, 7)            # per-shard chunked pairs
+        h, _ = histogram_sharded(
+            data, mesh=self._mesh(), in_spec=P("r", None), bins=bins,
+            axis=None,
+        )
+        assert h.dtype == np.int64
+        np.testing.assert_array_equal(
+            h, np.histogram(data.astype("f8"), bins=bins)[0]
+        )
+
+    def test_carry_and_halves_observable(self, monkeypatch):
+        """pair_bits=8 makes lo wrap at 256 per shard (hi != 0) and makes
+        the 4-bit psum halves carry — the whole recombine chain is
+        observable at test sizes."""
+        import xhistogram_tpu.core as core_mod
+
+        monkeypatch.setattr(core_mod, "_WIDE_LIMIT", 1 << 8)
+        monkeypatch.setattr(core_mod, "_PAIR_BITS", 8)
+        data = np.zeros((8, 500), np.float32)  # all in one bin
+        bins = np.array([-1.0, 1.0])
+        h, _ = histogram_sharded(
+            data, mesh=self._mesh(), in_spec=P("r", None), bins=bins,
+            axis=None,
+        )
+        assert h.dtype == np.int64 and int(h[0]) == 8 * 500
+
+    def test_kept_axis_wide_and_density(self, monkeypatch):
+        import xhistogram_tpu.core as core_mod
+
+        monkeypatch.setattr(core_mod, "_WIDE_LIMIT", 1 << 11)
+        rng = np.random.RandomState(6)
+        data = rng.randn(8, 2048).astype("f4")  # reduced 2048 >= 2**11
+        bins = np.linspace(-3, 3, 9)
+        h, _ = histogram_sharded(
+            data, mesh=self._mesh(), in_spec=P("r", None), bins=bins,
+            axis=(1,),
+        )
+        assert h.dtype == np.int64
+        expected = np.stack(
+            [np.histogram(r.astype("f8"), bins=bins)[0] for r in data]
+        )
+        np.testing.assert_array_equal(h, expected)
+        hd, _ = histogram_sharded(
+            data, mesh=self._mesh(), in_spec=P("r", None), bins=bins,
+            axis=(1,), density=True,
+        )
+        expd = np.stack(
+            [np.histogram(r.astype("f8"), bins=bins, density=True)[0]
+             for r in data]
+        )
+        np.testing.assert_allclose(hd, expd, rtol=1e-12)
+
+    def test_wide_traced_caller_raises(self, monkeypatch):
+        import xhistogram_tpu.core as core_mod
+
+        monkeypatch.setattr(core_mod, "_WIDE_LIMIT", 1 << 12)
+        mesh = self._mesh()
+        bins = np.linspace(-3, 3, 9)
+
+        def call(x):
+            return histogram_sharded(
+                x, mesh=mesh, in_spec=P("r", None), bins=bins, axis=None
+            )[0]
+
+        big = jax.ShapeDtypeStruct((8, 1024), np.float32)
+        with pytest.raises(ValueError, match="traced"):
+            jax.eval_shape(call, big)

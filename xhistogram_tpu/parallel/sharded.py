@@ -80,13 +80,15 @@ def histogram_sharded(
     density=False,
     block_size="auto",
     method="auto",
+    precision=None,
 ):
     """Explicitly sharded histogram over a device mesh.
 
     All inputs (and weights) must share one shape and one ``in_spec`` laying
     them out over ``mesh``. Each device histograms its local shard; a single
     ``psum`` over the mesh axes that shard reduced data axes combines the
-    partials. Kept axes keep their sharding in the output.
+    partials. Kept axes keep their sharding in the output. ``precision``
+    selects the per-call weighted-precision mode (see ``core.histogram``).
 
     Returns ``(hist, bin_edges_list)`` like the core API.
     """
@@ -116,27 +118,6 @@ def histogram_sharded(
     out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
     n_inputs = len(arrays)
 
-    if weights is None:
-        # int64 wide-count contract (core._WIDE_LIMIT): the sharded path
-        # accumulates int32 partials + psum, which would silently overflow
-        # when one GLOBAL output row reduces >= 2**31 elements. core's
-        # chunked uint32-pair path cannot run under shard_map (it returns
-        # host int64), so refuse loudly instead of wrapping.
-        from ..core import _WIDE_LIMIT
-
-        reduced = int(
-            np.prod([shape[a] for a in axis_t])
-            if axis_t is not None
-            else np.prod(shape)
-        )
-        if reduced >= _WIDE_LIMIT:
-            raise ValueError(
-                f"one output row reduces {reduced} elements (>= 2**31): "
-                f"int32 partials + psum would overflow. Use eager "
-                f"core.histogram (exact int64 via chunked accumulation) or "
-                f"stream shards through xhistogram_tpu.StreamingHistogram."
-            )
-
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
 
     # Don't fork the jit cache on certificate VALUES the routed kernel never
@@ -151,6 +132,47 @@ def histogram_sharded(
             for nm in names:
                 size //= mesh.shape[nm]
         local_shape.append(size)
+
+    # int64 wide-count contract (reference core.py:363, core._WIDE_LIMIT):
+    # when one GLOBAL output row reduces >= 2**31 elements, int32 partials
+    # (+ psum) could overflow. Run the uint32-pair path per shard instead
+    # (the LOCAL pipeline chunks only if the local rows are themselves
+    # wide), psum the pair as overflow-proof 16-bit halves, and combine to
+    # exact numpy int64 host-side — the sharded mirror of core's contract.
+    wide = False
+    local_wide_limit = None
+    pair_bits = 32
+    if weights is None:
+        from ..core import _PAIR_BITS, _WIDE_LIMIT
+
+        reduced = int(
+            np.prod([shape[a] for a in axis_t])
+            if axis_t is not None
+            else np.prod(shape)
+        )
+        if reduced >= _WIDE_LIMIT:
+            if any(_bins_mod.is_traced(a) for a in arrays):
+                raise ValueError(
+                    f"one output row reduces {reduced} elements (>= "
+                    f"2**31): exact counts need 64-bit accumulation, "
+                    f"which cannot be returned to a traced caller. Call "
+                    f"histogram_sharded eagerly (returns numpy int64) or "
+                    f"stream shards through "
+                    f"xhistogram_tpu.StreamingHistogram."
+                )
+            wide = True
+            pair_bits = _PAIR_BITS
+            local_reduced = int(
+                np.prod([local_shape[a] for a in axis_t])
+                if axis_t is not None
+                else np.prod(local_shape)
+            )
+            if local_reduced >= _WIDE_LIMIT:
+                local_wide_limit = _WIDE_LIMIT
+    if precision is not None:
+        from ..ops.pallas_hist import _resolve_wmode
+
+        _resolve_wmode(precision)  # validate eagerly
     uniform = _uniform_static_key(
         uniform,
         n_inputs,
@@ -162,6 +184,7 @@ def histogram_sharded(
         weights.dtype if weights is not None else None,
         n_hi_clip,
         weights is not None and jnp.issubdtype(weights.dtype, jnp.integer),
+        weighted_mode=precision,
     )
 
     h = _sharded_impl(
@@ -179,7 +202,26 @@ def histogram_sharded(
         psum_axes=psum_axes,
         n_hi_clip=n_hi_clip,
         uniform=uniform,
+        weighted_mode=precision,
+        wide=wide,
+        local_wide_limit=local_wide_limit,
+        pair_bits=pair_bits,
     )
+
+    if wide:
+        # combine the psummed (hi, lo-halves) into exact numpy int64 (the
+        # same host combine as core.histogram's wide path)
+        hi, lo_hi, lo_lo = h
+        half = (pair_bits + 1) // 2
+        lo64 = (np.asarray(lo_hi).astype(np.int64) << half) + np.asarray(
+            lo_lo
+        ).astype(np.int64)
+        h = (np.asarray(hi).astype(np.int64) << pair_bits) + lo64
+        if density:
+            bin_axes = tuple(_builtin_range(-n_inputs, 0))
+            totals = h.sum(axis=bin_axes, keepdims=True)
+            h = h / _bins_mod.bin_areas(edges_np) / totals
+        return h, edges_np
 
     if density:
         # areas from the *original* edges (edges_dev are the transformed
@@ -208,6 +250,10 @@ def histogram_sharded(
         "psum_axes",
         "n_hi_clip",
         "uniform",
+        "weighted_mode",
+        "wide",
+        "local_wide_limit",
+        "pair_bits",
     ),
 )
 def _sharded_impl(
@@ -226,6 +272,10 @@ def _sharded_impl(
     psum_axes,
     n_hi_clip=None,
     uniform=None,
+    weighted_mode=None,
+    wide=False,
+    local_wide_limit=None,
+    pair_bits=32,
 ):
     """Module-level jitted shard_map program (cached across calls; Mesh and
     PartitionSpec are hashable statics). Local reduced-axis ids are unchanged
@@ -248,7 +298,7 @@ def _sharded_impl(
             in_spec if has_weights else P(),
             tuple(P() for _ in edges),
         ),
-        out_specs=out_spec,
+        out_specs=(out_spec, out_spec, out_spec) if wide else out_spec,
         check_vma=not may_use_pallas,
     )
     def _local(arrays_l, weights_l, edges_l):
@@ -264,9 +314,33 @@ def _sharded_impl(
             has_weights=has_weights,
             n_hi_clip=n_hi_clip,
             uniform=uniform,
+            weighted_mode=weighted_mode,
+            wide_limit=local_wide_limit,
+            pair_bits=pair_bits,
         )
+        if not wide:
+            if psum_axes:
+                counts = jax.lax.psum(counts, psum_axes)
+            return counts
+        # uint32-pair partials, made psum-overflow-proof: split lo into
+        # halves (each half sums to < n_shards * 2**ceil(pair_bits/2) —
+        # far below 2**32 for any real mesh); hi sums stay < 2**32 up to
+        # 2**(32 + pair_bits) total elements.
+        if local_wide_limit is not None:
+            hi, lo = counts  # the local pipeline already chunked wide rows
+        else:
+            # local rows fit int32 exactly; promote to a (hi, lo) pair
+            c_u = counts.astype(jnp.uint32)
+            if pair_bits >= 32:
+                hi = jnp.zeros_like(c_u)
+                lo = c_u
+            else:
+                hi = c_u >> pair_bits
+                lo = c_u & jnp.uint32((1 << pair_bits) - 1)
+        half = (pair_bits + 1) // 2
+        parts = (hi, lo >> half, lo & jnp.uint32((1 << half) - 1))
         if psum_axes:
-            counts = jax.lax.psum(counts, psum_axes)
-        return counts
+            parts = tuple(jax.lax.psum(p, psum_axes) for p in parts)
+        return parts
 
     return _local(arrays, weights, edges)
