@@ -121,6 +121,27 @@ def test_grad_through_pallas_matches_scatter():
     np.testing.assert_allclose(np.asarray(g2p), np.asarray(g2s), rtol=1e-4)
 
 
+def test_grad_with_precision_modes():
+    """The custom VJP (gather of the cotangent at each slot) is
+    mode-independent; grads must flow through every per-call precision."""
+    rng = np.random.RandomState(13)
+    data = jnp.asarray(rng.randn(64).astype("f4"))
+    w0 = jnp.asarray(rng.rand(64).astype("f4"))
+    coef = jnp.arange(9.0)
+
+    def loss(w, precision):
+        h, _ = histogram(data, bins=bins_arr, weights=w, method="pallas",
+                         precision=precision)
+        return jnp.sum(h * coef)
+
+    g_ref = jax.grad(lambda w: loss(w, None))(w0)
+    for mode in ("split", "highest", "i8x3"):
+        g = jax.grad(lambda w: loss(w, mode))(w0)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_measure_helper():
     from xhistogram_tpu.utils.profiling import measure
 
