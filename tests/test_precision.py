@@ -260,3 +260,37 @@ def test_i8x3_mode_precision_bound(monkeypatch):
         np.asarray(h), expected,
         atol=2.4e-7 * 10 * 2048 * 8 / 9, rtol=1e-5,
     )
+
+
+def test_precision_empty_string_rejected():
+    data = np.zeros((2, 8), "f4")
+    w = np.ones((2, 8), "f4")
+    with pytest.raises(ValueError, match="precision"):
+        histogram(data, bins=np.linspace(-1, 1, 5), weights=w, precision="")
+
+
+def test_unweighted_precision_does_not_fork_cache():
+    """precision= is mode-independent without weights: it must normalize
+    away before becoming a static jit arg (each distinct static value would
+    retrace an identical pipeline — ~30-60 s on the remote-compile path)."""
+    import jax
+
+    from xhistogram_tpu.core import _histogram_impl
+
+    data = np.random.RandomState(0).randn(4, 64).astype("f4")
+    edges = np.linspace(-3, 3, 9)
+    h0, _ = histogram(data, bins=edges)
+    n0 = _histogram_impl._cache_size()
+    h1, _ = histogram(data, bins=edges, precision="highest")
+    assert _histogram_impl._cache_size() == n0  # same trace reused
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    # still validated eagerly even though ignored
+    with pytest.raises(ValueError, match="precision"):
+        histogram(data, bins=edges, precision="bogus")
+
+
+def test_streaming_precision_validated_at_init():
+    from xhistogram_tpu import StreamingHistogram
+
+    with pytest.raises(ValueError, match="precision"):
+        StreamingHistogram([np.linspace(-1, 1, 5)], precision="exact")

@@ -657,7 +657,10 @@ def histogram(
         from .ops.pallas_hist import _resolve_wmode
 
         _resolve_wmode(precision)  # validate eagerly
-    weighted_mode = precision
+    # Unweighted counts are mode-independent: drop the request so it cannot
+    # fork the jit cache (a distinct static arg would retrace identical
+    # pipelines — ~30-60 s each on the remote-compile TPU path).
+    weighted_mode = precision if weights is not None else None
 
     # Bin areas for density come from the original (untransformed) edges.
     bin_area = (

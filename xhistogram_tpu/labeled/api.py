@@ -193,6 +193,13 @@ def histogram(
     ``NamedArray`` (counts/weighted sums/density) with bin-center
     coordinates.
     """
+    if precision is not None:
+        from ..ops.pallas_hist import _resolve_wmode
+
+        _resolve_wmode(precision)  # validate eagerly
+    if weights is None:
+        # mode-independent when unweighted: don't fork the pipeline cache
+        precision = None
     inputs = list(args)
     n_inputs = len(inputs)
     _require_labeled(inputs)

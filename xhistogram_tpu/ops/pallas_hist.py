@@ -157,8 +157,9 @@ if _WEIGHTED_MODE not in _WEIGHTED_MODES:
 
 def _resolve_wmode(wmode):
     """Resolve a per-call mode request against the env default (``None``
-    = no caller preference)."""
-    mode = wmode or _WEIGHTED_MODE
+    = no caller preference; any other value — including "" — must be a
+    real mode)."""
+    mode = _WEIGHTED_MODE if wmode is None else wmode
     if mode not in _WEIGHTED_MODES:
         raise ValueError(
             f"weighted precision mode {mode!r}: valid values are "

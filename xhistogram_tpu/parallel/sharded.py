@@ -173,6 +173,9 @@ def histogram_sharded(
         from ..ops.pallas_hist import _resolve_wmode
 
         _resolve_wmode(precision)  # validate eagerly
+    # mode-independent when unweighted — don't fork the jit cache on it
+    if weights is None:
+        precision = None
     uniform = _uniform_static_key(
         uniform,
         n_inputs,
@@ -340,7 +343,9 @@ def _sharded_impl(
         half = (pair_bits + 1) // 2
         parts = (hi, lo >> half, lo & jnp.uint32((1 << half) - 1))
         if psum_axes:
-            parts = tuple(jax.lax.psum(p, psum_axes) for p in parts)
+            # one pytree psum = one fused all-reduce (three separate psums
+            # would pay per-collective latency three times over ICI/DCN)
+            parts = jax.lax.psum(parts, psum_axes)
         return parts
 
     return _local(arrays, weights, edges)

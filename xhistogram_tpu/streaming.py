@@ -83,6 +83,10 @@ class StreamingHistogram:
         self._axis = axis
         self._method = method
         self._block_size = block_size
+        if precision is not None:
+            from .ops.pallas_hist import _resolve_wmode
+
+            _resolve_wmode(precision)  # validate at init, not first update
         self._precision = precision
         self._blocks = None  # {kept_offset tuple: host accumulator array}
         self._edges = None
