@@ -71,6 +71,24 @@ for k in range(NZ):
     print(f"depth {depth[k]:6.0f} m: modal watermass T={tc:5.2f} degC, "
           f"S={sc:5.2f} psu  (volume {vals[k, i, j]:.1f})")
 
+# exact volume accounting (publication-grade sums): per-weight-exact
+# three-limb kernels + Kahan cross-tile totals, ~1.5x the default's cost.
+# (method='pallas' pins the kernel path so the comparison is meaningful on
+# CPU too — 'auto' there uses XLA scatter, which is mode-independent.)
+h_kw = {
+    "bins": [t_edges, s_edges],
+    "dim": ["time", "lat", "lon"],
+    "weights": da_V,
+    "method": "pallas",
+}
+h_split = histogram(da_T, da_S, **h_kw)
+h_exact = histogram(da_T, da_S, precision="highest", **h_kw)
+drift = float(
+    np.abs(h_exact.values.astype("f8") - h_split.values.astype("f8")).max()
+)
+print(f"\nprecision='highest' vs default split: max per-bin delta {drift:.3e}"
+      f" (split carries ~17 of the weights' 24 mantissa bits)")
+
 # the same computation distributes over a device mesh unchanged:
 if len(jax.devices()) > 1:
     from jax.sharding import Mesh, PartitionSpec as P
