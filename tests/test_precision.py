@@ -294,3 +294,55 @@ def test_streaming_precision_validated_at_init():
 
     with pytest.raises(ValueError, match="precision"):
         StreamingHistogram([np.linspace(-1, 1, 5)], precision="exact")
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["joint2", "per_row", "packed", "direct"],
+)
+def test_highest_mode_across_kernel_families(case):
+    """The three-limb highest matmul runs inside every weighted kernel
+    family (the lhs/rhs one-hot shapes differ per kernel); each must meet
+    the near-f64 tolerance on its canonical shape."""
+    rng = np.random.RandomState(17)
+    if case == "joint2":
+        a, b = rng.randn(2, 5000).astype("f4"), rng.randn(2, 5000).astype("f4")
+        w = rng.rand(2, 5000).astype("f4")
+        ea, eb = np.linspace(-4, 4, 281), np.linspace(-4, 4, 341)
+        h, _ = histogram(a, b, bins=[ea, eb], weights=w, method="pallas",
+                         precision="highest")
+        exp, _, _ = np.histogram2d(a.ravel(), b.ravel(), bins=[ea, eb],
+                                   weights=w.ravel().astype("f8"))
+        np.testing.assert_allclose(np.asarray(h), exp, rtol=3e-7, atol=1e-6)
+    elif case == "per_row":
+        a, b = rng.randn(5, 2000).astype("f4"), rng.randn(5, 2000).astype("f4")
+        w = rng.rand(5, 2000).astype("f4")
+        ea, eb = np.linspace(-4, 4, 151), np.linspace(-4, 4, 91)
+        h, _ = histogram(a, b, bins=[ea, eb], weights=w, axis=(1,),
+                         method="pallas", precision="highest")
+        for r in range(5):
+            exp, _, _ = np.histogram2d(a[r], b[r], bins=[ea, eb],
+                                       weights=w[r].astype("f8"))
+            np.testing.assert_allclose(np.asarray(h)[r], exp, rtol=3e-7,
+                                       atol=1e-6)
+    elif case == "packed":
+        a = rng.randn(9, 100).astype("f4")
+        w = rng.rand(9, 100).astype("f4")
+        e = np.linspace(-4, 4, 10001)
+        h, _ = histogram(a, bins=e, weights=w, axis=(1,), method="pallas",
+                         precision="highest")
+        for r in range(9):
+            exp = np.histogram(a[r], bins=e, weights=w[r].astype("f8"))[0]
+            np.testing.assert_allclose(np.asarray(h)[r], exp, rtol=3e-7,
+                                       atol=1e-6)
+    else:  # direct
+        a, b = rng.randn(16, 64).astype("f4"), rng.randn(16, 64).astype("f4")
+        w = rng.rand(16, 64).astype("f4")
+        ea = np.linspace(-4, 4, 41)
+        h, _ = histogram(a, b, bins=[ea, ea], weights=w, axis=(1,),
+                         method="pallas", precision="highest")
+        for r in range(16):
+            exp, _, _ = np.histogram2d(a[r], b[r], bins=[ea, ea],
+                                       weights=w[r].astype("f8"))
+            np.testing.assert_allclose(np.asarray(h)[r], exp, rtol=3e-7,
+                                       atol=1e-6)
