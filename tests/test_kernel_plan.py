@@ -107,3 +107,27 @@ def test_weighted_gate_actual_channel_count():
         ph.plan(2, (1023, 1023), 64, c=100_000, weighted=True, n_outs=4)
         == "factored_per_row"
     )
+
+
+def test_wmode_kahan_channel_tightens_weighted_gate():
+    """highest mode carries one extra per-slot output (the Kahan
+    compensation block), so its kept-row output bound (2^28 elements,
+    plan()'s m*padded_slots*n_outs) is tighter than split's. supports()
+    must reflect the per-call mode it is asked about."""
+    import jax.numpy as jnp
+
+    from xhistogram_tpu.ops import pallas_hist as ph
+
+    nbins = (1024, 64)
+    n_slots = 1024 * 64 + 1
+    n1, log2_n2 = ph._pick_factorization(n_slots)
+    padded = max(n1 << log2_n2, ph._round_up(n_slots, 1024))
+    # n_outs: split = 1 counts + 3 faithful channels = 4; highest adds the
+    # Kahan block = 5. Pick m inside the (2^28/5, 2^28/4] window.
+    m = (1 << 28) // (padded * 5) + 1
+    assert m * padded * 4 <= (1 << 28) < m * padded * 5
+    kw = dict(weighted=True, c=1024, weights_dtype=jnp.float32)
+    assert ph.supports(2, nbins, m, wmode="split", **kw)
+    assert not ph.supports(2, nbins, m, wmode="highest", **kw)
+    # and the default (env split) matches wmode=None
+    assert ph.supports(2, nbins, m, wmode=None, **kw)
