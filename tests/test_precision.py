@@ -68,22 +68,28 @@ def test_highest_three_limb_decomposition_exact():
     subtractions are error-free and the final residual fits bf16's 8-bit
     mantissa) for the full range of normal f32 values."""
     rng = np.random.RandomState(7)
-    # full 24-bit mantissas across a wide exponent range, plus specials
+    # full 24-bit mantissas across a wide exponent range, plus specials —
+    # including finite f32 values ABOVE bf16's max normal, where a plain
+    # bf16 cast rounds to inf and only the clamped hi limb stays exact
+    fmax = np.finfo(np.float32).max
     m = rng.randint(1 << 23, 1 << 24, size=4096).astype(np.float32)
     e = np.ldexp(1.0, rng.randint(-100, 100, size=4096)).astype(np.float32)
     w = np.concatenate(
         [m * e * np.where(rng.rand(4096) < 0.5, -1, 1).astype(np.float32),
-         np.array([0.0, -0.0, 1.0, np.float32(2**-126)], dtype=np.float32)]
+         np.array([0.0, -0.0, 1.0, np.float32(2**-126),
+                   fmax, -fmax, np.nextafter(fmax, 0, dtype=np.float32),
+                   np.float32(3.395e38)], dtype=np.float32)]
     )
     wf = jnp.asarray(w)
-    hi = wf.astype(jnp.bfloat16)
+    hi = ph._bf16_hi(wf)
     r1 = wf - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    back = (
-        hi.astype(jnp.float32)
-        + mid.astype(jnp.float32)
-        + lo.astype(jnp.float32)
+    # hi + (mid + lo): mid+lo equals the hi-residual exactly, so this
+    # order reconstructs w without the 2^128 overflow (hi+mid)+lo hits at
+    # w = f32_max — the same order the kernel accumulates
+    back = hi.astype(jnp.float32) + (
+        mid.astype(jnp.float32) + lo.astype(jnp.float32)
     )
     np.testing.assert_array_equal(np.asarray(back), w)
 
@@ -346,3 +352,27 @@ def test_highest_mode_across_kernel_families(case):
                                        weights=w[r].astype("f8"))
             np.testing.assert_allclose(np.asarray(h)[r], exp, rtol=3e-7,
                                        atol=1e-6)
+
+
+def test_huge_finite_weights_survive_bf16_limbs():
+    """Finite f32 weights above bf16's max normal (≈3.3895e38) used to
+    round to inf in the hi-limb cast, turning the residual into -inf and
+    poisoning whole tiles in BOTH split and highest modes. The clamped hi
+    limb keeps them finite and (in highest mode) exact."""
+    fmax = np.finfo(np.float32).max
+    edges = np.linspace(-4, 4, 9)
+    centers = (0.5 * (edges[:-1] + edges[1:])).astype("f4").reshape(1, -1)
+    w = np.full(centers.shape, 1.0, "f4")
+    w[0, 2] = fmax
+    w[0, 5] = np.float32(3.4e38)
+
+    h_hi, _ = histogram(centers, bins=edges, weights=w, method="pallas",
+                        precision="highest")
+    np.testing.assert_array_equal(np.asarray(h_hi), w.ravel())
+
+    h_sp, _ = histogram(centers, bins=edges, weights=w, method="pallas",
+                        precision="split")
+    got = np.asarray(h_sp)
+    assert np.isfinite(got).all()
+    # the lo-limb overflow clamp costs up to ~1.6e-5 relative AT f32_max
+    np.testing.assert_allclose(got, w.ravel(), rtol=2e-5)

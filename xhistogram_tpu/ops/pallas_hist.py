@@ -535,12 +535,43 @@ def _cum_col(e, out_rows):
     return col.reshape(out_rows, 1), ne
 
 
+#: bf16's max normal (≈3.3895e38). Finite f32 weights ABOVE it would round
+#: to ±inf in a plain bf16 cast, turning the residual chain into -inf/NaN
+#: and poisoning every slot in the tile. Clamping the hi limb keeps it
+#: finite; the residual w - hi then has ≤ 16 significant bits exactly as in
+#: the in-range case, so the limb decompositions stay exact/accurate.
+#: (±inf weights themselves never reach these helpers in faithful mode —
+#: they are sanitized to 0 and routed to indicator channels; assume-finite
+#: mode documents nonfinite weights as unsupported.)
+_BF16_MAX = float(jnp.finfo(jnp.bfloat16).max)
+
+
+def _bf16_hi(w_row):
+    """RN-to-bf16 with overflow clamping (see _BF16_MAX)."""
+    return jnp.clip(
+        w_row, jnp.float32(-_BF16_MAX), jnp.float32(_BF16_MAX)
+    ).astype(jnp.bfloat16)
+
+
+#: Largest bf16 lo limb that keeps bf16_max + lo finite in f32: with
+#: hi = bf16_max (mantissa 16711680·2^104) the residual of f32_max is
+#: 65535·2^104, whose bf16 ROUNDING is 65536·2^104 — and
+#: bf16_max + 65536·2^104 = 2^128 = inf. 255·2^112 = 65280·2^104 is the
+#: largest bf16 value below that cliff; clamping costs ≤ 255·2^104
+#: (~1.5e-5 relative at f32_max), inside split's error model, and never
+#: binds for weights below bf16_max (their residuals are ≤ 2^118).
+_SPLIT_LO_CAP = float(255 * (2 ** 112))
+
+
 def _split_bf16(w_row):
     """f32 (1, E) → (hi, lo) bf16 rows with hi + lo ≈ w to ~17 mantissa bits
     (products against 0/1 one-hots are exact, so only the representation of
     the weights is approximated)."""
-    hi = w_row.astype(jnp.bfloat16)
-    lo = (w_row - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi = _bf16_hi(w_row)
+    r1 = w_row - hi.astype(jnp.float32)
+    lo = jnp.clip(
+        r1, jnp.float32(-_SPLIT_LO_CAP), jnp.float32(_SPLIT_LO_CAP)
+    ).astype(jnp.bfloat16)
     return hi, lo
 
 
@@ -640,7 +671,8 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
             if rhs_w.dtype == jnp.bfloat16
             else rhs_w.astype(jnp.bfloat16)
         )
-        hi = wf.astype(jnp.bfloat16)
+        hi = _bf16_hi(wf)  # overflow-clamped: keeps huge-but-finite
+        # weights' residuals exact instead of -inf (see _BF16_MAX)
         r1 = wf - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -649,7 +681,11 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
             lhs, rhs, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
-        counts = res[:nrows] + res[nrows : 2 * nrows] + res[2 * nrows :]
+        # mid + lo first: their sum is exactly the hi-residual (error-free
+        # by construction), so hi + (mid + lo) cannot overflow for finite
+        # per-slot sums — (hi + mid) + lo hits 2^128 = inf at w ≈ f32_max
+        # (hi clamps to bf16_max and mid rounds UP past the gap)
+        counts = res[:nrows] + (res[nrows : 2 * nrows] + res[2 * nrows :])
     return counts, flags
 
 
