@@ -180,12 +180,16 @@ def main():
         eds_1 = e(1025)
         cents = (0.5 * (eds_1[:-1] + eds_1[1:])).astype("f4").reshape(1, -1)
         wex = w(1, 1024)
+        # huge-but-finite weights: the clamped hi limb + hi+(mid+lo) order
+        # must keep them exact instead of inf-poisoning the tile
+        wex[0, 7] = np.float32(np.finfo(np.float32).max)
+        wex[0, 11] = np.float32(3.4e38)
         try:
             h, _ = histogram(cents, bins=[eds_1], weights=wex,
                              method="pallas")
             good = np.array_equal(np.asarray(h), wex.ravel())
             print(f"{'OK  ' if good else 'FAIL'} highest bit-exact "
-                  f"single-weight-per-bin")
+                  f"single-weight-per-bin (incl. f32_max)")
             ok &= good
         except Exception as exc:
             print(f"FAIL highest bit-exact: {type(exc).__name__}: "
