@@ -268,6 +268,33 @@ def main():
         print(f"FAIL shard_map pallas weighted: {type(exc).__name__}: "
               f"{str(exc)[:120]}")
         ok = False
+    # sharded wide-count contract ON THE CHIP: the uint32-pair halves psum
+    # (psum over a real singleton mesh axis must lower for u32 operands)
+    import xhistogram_tpu.core as core_mod
+
+    orig_limit = core_mod._WIDE_LIMIT
+    core_mod._WIDE_LIMIT = 1 << 12
+    try:
+        aw = d(4, 2048)
+        hw, _ = histogram_sharded(
+            aw, mesh=mesh, in_spec=P("dp", None), bins=[e(281)], axis=None
+        )
+        good = (
+            isinstance(hw, np.ndarray)
+            and hw.dtype == np.int64
+            and np.array_equal(
+                hw, np.histogram(aw.astype("f8"), bins=e(281))[0]
+            )
+        )
+        print(f"{'OK  ' if good else 'FAIL'} shard_map wide int64 parity")
+        ok &= good
+    except Exception as exc:
+        print(f"FAIL shard_map wide int64: {type(exc).__name__}: "
+              f"{str(exc)[:120]}")
+        ok = False
+    finally:
+        core_mod._WIDE_LIMIT = orig_limit
+
     # GSPMD implicit path: jit over device_put-committed data, auto method
     try:
         sharded = jax.device_put(a1, NamedSharding(mesh, P("dp", None)))
