@@ -41,7 +41,8 @@ def one_case(rng, case_idx, methods):
 
     ndim = rng.randint(1, 4)
     shape = tuple(rng.randint(1, 7) for _ in range(ndim))
-    n_inputs = rng.randint(1, 3)
+    # mostly 1-2 inputs; occasionally 3 (the factored joint route)
+    n_inputs = 1 + int(rng.rand() < 0.4) + int(rng.rand() < 0.15)
     dtype = rng.choice(["f4", "f8", "i4", "i8"])
     if dtype in ("f4", "f8"):
         arrays = [

@@ -65,7 +65,7 @@ def rng_time(m, c, n_arrays):
 
 
 def run(name, nbins, m, c, n_inputs, weighted, macs_per_elem, vpu_per_elem,
-        method="pallas", axis=(1,), mxu_rate=1.0):
+        method="pallas", axis=(1,), mxu_rate=1.0, wmode=None):
     # mxu_rate=2.0 for unweighted int8-one-hot matmul rows (v5e int8 MACs
     # run at 2x the bf16 rate)
     eds_np = [
@@ -90,7 +90,7 @@ def run(name, nbins, m, c, n_inputs, weighted, macs_per_elem, vpu_per_elem,
         h = _histogram_impl(
             arrs, w, eds, axis=axis, nbins=nbins, density=False,
             method=method, block_size="auto", has_weights=weighted,
-            uniform=uniform,
+            uniform=uniform, weighted_mode=wmode,
         )
         return jnp.sum(h.astype(jnp.float32))
 
@@ -139,6 +139,11 @@ if __name__ == "__main__":
     # joint2 weighted split: 2 bf16 sections → 2x MACs
     run("joint2 280x340 weighted(split)", (280, 340), 1024, 1 << 18, 2,
         True, 2 * 288 * 344, 3 * (288 + 344) + 40, axis=None)
+    # weighted highest (three-limb exact): 3 bf16 sections → 3x MACs,
+    # +1 Kahan accumulate per tile on the VPU side
+    run("joint2 280x340 weighted(highest)", (280, 340), 1024, 1 << 18, 2,
+        True, 3 * 288 * 344, 4 * (288 + 344) + 40, axis=None,
+        wmode="highest")
     # factored 1M slots: n1≈976·n2=1024; VPU = Σedges + n1c+n2 per chunk
     run("factored 1000x1000 full-reduce", (1000, 1000), 1024, 49152, 2,
         False, 1_000_000, 2 * 2002 + 2 * 3000, axis=None, mxu_rate=2.0)
