@@ -17,6 +17,81 @@ import time
 import numpy as np
 
 
+def wait_for_backend(
+    budget_s=1500.0,
+    probe_timeout_s=110.0,
+    probe=None,
+    sleep=None,
+    clock=None,
+    log=None,
+):
+    """Block until the JAX backend answers a cheap ``jax.devices()`` probe,
+    retrying with backoff through transient TPU-runtime outages.
+
+    The r3 driver bench run died on a single transient
+    ``UNAVAILABLE: TPU backend setup/compile error`` at first backend
+    contact, costing the round its only driver-verified perf artifact
+    (VERDICT r3). The remote TPU runtime here recovers on its own within
+    minutes (CLAUDE.md), so the fix is the prescribed probe-retry loop:
+    a SUBPROCESS probe under a hard timeout (first contact can hang >40
+    min during outages — an in-process attempt would wedge this process),
+    retried with backoff until ``budget_s`` is spent. Returns the backend
+    platform string on success, None when the budget ran out (the caller
+    proceeds and lets the real run surface the error).
+
+    ``probe``/``sleep``/``clock``/``log`` are injectable for tests.
+    """
+    import subprocess
+
+    if probe is None:
+
+        def probe(timeout_s):
+            try:
+                res = subprocess.run(
+                    [
+                        sys.executable,
+                        "-c",
+                        "import jax; print(jax.devices()[0].platform)",
+                    ],
+                    timeout=timeout_s,
+                    capture_output=True,
+                    text=True,
+                )
+            except subprocess.TimeoutExpired:
+                return None
+            if res.returncode == 0 and res.stdout.strip():
+                return res.stdout.strip().splitlines()[-1]
+            return None
+
+    sleep = sleep or time.sleep
+    clock = clock or time.monotonic
+    log = log or (lambda msg: print(msg, file=sys.stderr))
+
+    deadline = clock() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = clock()
+        platform = probe(probe_timeout_s)
+        if platform is not None:
+            if attempt > 1:
+                log(f"# backend up after {attempt} probes")
+            return platform
+        remaining = deadline - clock()
+        if remaining <= 0:
+            log(
+                f"# backend probe budget exhausted after {attempt} attempts; "
+                f"proceeding anyway"
+            )
+            return None
+        backoff = min(60.0, 5.0 * attempt, max(remaining, 0.0))
+        log(
+            f"# backend probe {attempt} failed ({clock() - t0:.0f}s); "
+            f"retrying in {backoff:.0f}s ({remaining:.0f}s budget left)"
+        )
+        sleep(backoff)
+
+
 def reference_numpy_ts(t, s, t_edges, s_edges):
     """The reference's exact numpy hot path (cited: reference core.py:73-83,
     163-186): searchsorted-right with inclusive last edge, ravel to joint
@@ -36,6 +111,11 @@ def reference_numpy_ts(t, s, t_edges, s_edges):
 
 
 def main():
+    # Outage-proofing: don't touch the backend in-process until a cheap
+    # subprocess probe confirms it answers (transient TPU outages recover
+    # within minutes; an unprotected first contact can hang or die).
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
