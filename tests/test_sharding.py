@@ -484,3 +484,160 @@ class TestShardedWideCounts:
         big = jax.ShapeDtypeStruct((8, 1024), np.float32)
         with pytest.raises(ValueError, match="traced"):
             jax.eval_shape(call, big)
+
+
+# ---------------------------------------------------------------------------
+# broadcast parity (VERDICT r3 #8): histogram_sharded accepts broadcastable
+# inputs AND weights, like the reference (core.py:366) and core.histogram
+
+
+def test_sharded_broadcast_lower_rank_input():
+    rng = np.random.RandomState(41)
+    a = rng.randn(8, 16).astype("f4")
+    b = rng.randn(16).astype("f4")  # broadcasts along the sharded rows
+    bins_a = np.linspace(-4, 4, 9)
+    bins_b = np.linspace(-4, 4, 7)
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        a, b, mesh=mesh, in_spec=P("x", "y"), bins=[bins_a, bins_b]
+    )
+    bb = np.broadcast_to(b, a.shape)
+    expected, _, _ = np.histogram2d(
+        a.ravel(), bb.ravel(), bins=[bins_a, bins_b]
+    )
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_sharded_broadcast_length1_axis_weights():
+    rng = np.random.RandomState(42)
+    a = rng.randn(8, 16).astype("f4")
+    w = rng.rand(8, 1).astype("f4")  # per-row weight, length-1 reduce axis
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        a, mesh=mesh, in_spec=P("x", "y"), bins=bins, weights=w, axis=(1,)
+    )
+    wb = np.broadcast_to(w, a.shape)
+    expected = np.stack(
+        [np.histogram(r, bins=bins, weights=ww)[0] for r, ww in zip(a, wb)]
+    )
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_broadcast_scalar_like_weights_kept_axis():
+    # weights with FEWER dims than the data, kept axis sharded
+    rng = np.random.RandomState(43)
+    a = rng.randn(8, 16).astype("f4")
+    w = np.float32(2.0) * np.ones((16,), "f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    h, _ = histogram_sharded(
+        a, mesh=mesh, in_spec=P("x", "y"), bins=bins, weights=w, axis=(1,)
+    )
+    expected = 2.0 * np.stack(
+        [np.histogram(r, bins=bins)[0] for r in a]
+    )
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# implicit-path delegation (VERDICT r3 #5/#7): eager calls on mesh-sharded
+# arrays must take the shard_map path (GSPMD has no partitioning rule for
+# the pallas custom call and would all-gather on a real mesh)
+
+
+def test_eager_sharded_call_delegates_to_shard_map(monkeypatch):
+    import xhistogram_tpu.parallel as par
+
+    calls = {}
+    orig = par.histogram_sharded
+
+    def spy(*a, **k):
+        calls["mesh"] = k.get("mesh")
+        calls["in_spec"] = k.get("in_spec")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(par, "histogram_sharded", spy)
+    rng = np.random.RandomState(50)
+    data = rng.randn(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    sharded = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    h, _ = histogram(sharded, bins=bins)
+    assert calls and calls["in_spec"] == P("x", "y")
+    np.testing.assert_array_equal(
+        np.asarray(h), np.histogram(data, bins=bins)[0]
+    )
+
+
+def test_eager_sharded_kept_axis_output_stays_sharded():
+    rng = np.random.RandomState(51)
+    data = rng.randn(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    sharded = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    h, _ = histogram(sharded, bins=bins, axis=(1,))
+    # shard_map's out_spec keeps the kept axis sharded over "x"
+    assert h.sharding.spec[0] == "x"
+    expected = np.stack([np.histogram(r, bins=bins)[0] for r in data])
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_replicated_and_single_device_arrays_do_not_delegate(monkeypatch):
+    import xhistogram_tpu.parallel as par
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("must not delegate")
+
+    monkeypatch.setattr(par, "histogram_sharded", boom)
+    rng = np.random.RandomState(52)
+    data = rng.randn(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    repl = jax.device_put(data, NamedSharding(mesh, P(None, None)))
+    h, _ = histogram(repl, bins=bins)
+    np.testing.assert_array_equal(
+        np.asarray(h), np.histogram(data, bins=bins)[0]
+    )
+    h2, _ = histogram(jnp.asarray(data), bins=bins)
+    np.testing.assert_array_equal(
+        np.asarray(h2), np.histogram(data, bins=bins)[0]
+    )
+
+
+def test_traced_sharded_caller_keeps_gspmd(monkeypatch):
+    """Inside a USER jit the inputs are tracers: no delegation — the XLA
+    strategies partition via GSPMD (parity pinned here; the pallas-call
+    gather caveat is documented in parallel.sharded's docstring)."""
+    import xhistogram_tpu.parallel as par
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("traced callers must not delegate")
+
+    monkeypatch.setattr(par, "histogram_sharded", boom)
+    rng = np.random.RandomState(53)
+    data = rng.randn(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    sharded = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    f = jax.jit(lambda a: histogram(a, bins=bins)[0])
+    h = f(sharded)
+    np.testing.assert_array_equal(
+        np.asarray(h), np.histogram(data, bins=bins)[0]
+    )
+
+
+def test_eager_sharded_delegation_composes_with_wide_counts(monkeypatch):
+    """Sharded eager arrays + the int64 wide-count contract: delegation
+    lands on histogram_sharded's psum-safe pair path."""
+    import xhistogram_tpu.core as core_mod
+
+    monkeypatch.setattr(core_mod, "_WIDE_LIMIT", 64)
+    rng = np.random.RandomState(54)
+    data = rng.randn(8, 16).astype("f4")
+    bins = np.linspace(-4, 4, 10)
+    mesh = mesh2d()
+    sharded = jax.device_put(data, NamedSharding(mesh, P("x", "y")))
+    h, _ = histogram(sharded, bins=bins)
+    assert h.dtype == np.int64
+    np.testing.assert_array_equal(h, np.histogram(data, bins=bins)[0])

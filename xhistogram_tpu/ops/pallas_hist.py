@@ -155,11 +155,23 @@ if _WEIGHTED_MODE not in _WEIGHTED_MODES:
     )
 
 
+def _int_wmode(wmode):
+    """Digit count of an internal integer-weight mode ("int1".."int4",
+    derived upstream from the weights' dtype/range — never user-typed), or
+    None for the float precision modes."""
+    if isinstance(wmode, str) and wmode.startswith("int") and wmode[3:].isdigit():
+        return int(wmode[3:])
+    return None
+
+
 def _resolve_wmode(wmode):
     """Resolve a per-call mode request against the env default (``None``
     = no caller preference; any other value — including "" — must be a
-    real mode)."""
+    real mode). Internal integer-weight modes ("intN", derived from the
+    weights dtype by core, not user input) pass through."""
     mode = _WEIGHTED_MODE if wmode is None else wmode
+    if _int_wmode(mode) is not None:
+        return mode
     if mode not in _WEIGHTED_MODES:
         raise ValueError(
             f"weighted precision mode {mode!r}: valid values are "
@@ -170,7 +182,38 @@ def _resolve_wmode(wmode):
 
 def _weight_rhs_dtype(wmode):
     """dtype the weighted kernels build their one-hot rhs in."""
-    return jnp.int8 if wmode in ("i8", "i8x3") else jnp.bfloat16
+    if wmode in ("i8", "i8x3") or _int_wmode(wmode) is not None:
+        return jnp.int8
+    return jnp.bfloat16
+
+
+def _weight_operand_dtype(wmode):
+    """dtype the wrappers stage the weights operand in: integer modes keep
+    weights integral end-to-end (int32 VMEM tiles), float modes take f32."""
+    return jnp.int32 if _int_wmode(wmode) is not None else jnp.float32
+
+
+def _weighted_out_dtype(wmode):
+    """Per-slot accumulator/output dtype of the weighted kernels."""
+    return jnp.int32 if _int_wmode(wmode) is not None else jnp.float32
+
+
+def _as_int32_weights(w2d):
+    """Weights tile as int32 for the integer modes: uint32 is BITCAST (the
+    digit algebra is mod 2**32 — XLA's u32→s32 convert semantics must not
+    enter); narrower ints convert exactly."""
+    if w2d.dtype == jnp.uint32:
+        return jax.lax.bitcast_convert_type(w2d, jnp.int32)
+    return w2d.astype(jnp.int32)
+
+
+def _stage_weights(w2d, wmode):
+    """Weights operand in the mode's staging dtype (see
+    _weight_operand_dtype): int32 for the integer digit modes (uint32
+    bitcast — mod-2**32 algebra), f32 for the float precision modes."""
+    if _int_wmode(wmode) is not None:
+        return _as_int32_weights(w2d)
+    return w2d.astype(jnp.float32)
 # Split-mode matmul form: two plain dots vs one concat-stacked dot
 # (measured equal-throughput on v5e; two dots avoid the sublane concat copy)
 _SPLIT_TWO_DOTS = _os.environ.get("XHIST_SPLIT_TWO_DOTS", "0") == "1"
@@ -372,18 +415,15 @@ UNIFORM_CONSUMERS = frozenset(
 )
 
 
-def auto_gate(n_hi_clip, int_weights):
+def auto_gate(n_hi_clip):
     """``method='auto'`` pallas eligibility pre-gate (backend + exactness
     constraints that hold regardless of shape): shared by core's dispatch
     (``_count_once``) and its jit-cache-key mirror
     (``core._uniform_static_key``) so the two cannot drift — a desynced
     mirror would substitute tier placeholders that a consuming kernel then
-    fails to unpack."""
-    return (
-        jax.default_backend() == "tpu"
-        and not any(n_hi_clip)
-        and not int_weights
-    )
+    fails to unpack. Integer weights are no longer excluded (r4): the
+    integer digit modes keep them bit-exact on the fused int8 MXU path."""
+    return jax.default_backend() == "tpu" and not any(n_hi_clip)
 
 
 def planned_kernel(n_inputs, nbins, m, c=None, weighted=False,
@@ -593,6 +633,43 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
     """
     dn = (((1,), (1,)), ((), ()))
     nrows = oh_lhs_bool.shape[0]
+    n_digits = _int_wmode(wmode)
+    if n_digits is not None:
+        # Exact integer weights (VERDICT r3 #3): in-kernel signed base-256
+        # digit decomposition — one int8·int8→int32 MXU dot per digit,
+        # shift-combined in int32. Every step is integral: digit extraction
+        # is int VPU arithmetic, digits |d| ≤ 128 are exact through the f32
+        # staging product (same known-good bool→int8 lowering as the i8
+        # modes), and int32 adds wrap mod 2**32 — exactly the int32/uint32
+        # output contract (numpy's reference path, core.py:81, loses
+        # integer exactness at 2**53 through float64). ``faithful`` is
+        # never set for integer weights (no NaN/inf to route).
+        lhs_f = oh_lhs_bool.astype(jnp.float32)
+        rem = w_row  # (1, E) int32
+        counts = None
+        for j in range(n_digits):
+            # overflow-safe extraction (the naive (rem+128)&255 - 128 wraps
+            # at int32 top): digit ≡ rem (mod 256), digit ∈ [-128, 127] —
+            # ALWAYS extract, never emit a raw top remainder (for values
+            # near int32 max the remainder hits +128, which the f32→int8
+            # cast would mangle). The final discarded remainder is worth
+            # rem·2**(8·n_digits) — with the host's digit-count choice it
+            # is zero, and at the device cap (4) it is a multiple of 2**32,
+            # i.e. ≡ 0 in the mod-2**32 output contract either way.
+            hi = rem >> 8
+            low = rem - (hi << 8)
+            adj = (low >= 128).astype(jnp.int32)
+            digit = low - adj * 256
+            rem = hi + adj
+            lhs_k = (lhs_f * digit.astype(jnp.float32)).astype(jnp.int8)
+            dk = jax.lax.dot_general(
+                lhs_k, rhs_w, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            if j:
+                dk = dk * jnp.int32(1 << (8 * j))
+            counts = dk if counts is None else counts + dk
+        return counts, None
     if not faithful:
         wf = w_row
         flags = None
@@ -730,9 +807,14 @@ def _weight_lhs_bytes(faithful, wmode):
     """Live lhs bytes per (row, element) across the weighted matmul
     sections for VMEM tile sizing: split two bf16 sections (4 B), i8/i8x3
     one f32 staging product + 2/3 int8 limbs (6/7 B), highest three bf16
-    sections (6 B); + bf16 channel sections (counted conservatively — they
-    only materialize on poisoned tiles)."""
-    base = {"i8": 6, "i8x3": 7, "highest": 6}.get(wmode, 4)
+    sections (6 B), intN one f32 staging product + N int8 digit sections;
+    + bf16 channel sections (counted conservatively — they only
+    materialize on poisoned tiles)."""
+    n_digits = _int_wmode(wmode)
+    if n_digits is not None:
+        base = 4 + n_digits
+    else:
+        base = {"i8": 6, "i8x3": 7, "highest": 6}.get(wmode, 4)
     return base + 2 * _n_weight_channels(faithful)
 
 
@@ -1144,11 +1226,11 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all, wmode="split"):
     a2d = _pad_operand(a2d, m_pad - m_syn, c_pad - c_syn)
     weighted = weighted_mode
     if weighted:
-        w2d = _pad2d(w2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
+        w2d = _pad2d(_stage_weights(w2d, wmode), m_pad - m_syn, c_pad - c_syn)
     else:
         w2d = jnp.zeros((tm, tc), jnp.float32)  # unused placeholder block
 
-    out_dtype = jnp.int32 if not weighted else jnp.float32
+    out_dtype = jnp.int32 if not weighted else _weighted_out_dtype(wmode)
 
     grid = (m_pad // tm, c_pad // tc)
     fixed = lambda i, j: (0, 0)
@@ -1406,11 +1488,11 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins, wmode="split"):
     b2d = padded(b2d)
     weighted = w2d is not None
     if weighted:
-        w = _pad2d(w2d.astype(jnp.float32), m_pad - m_syn, c_pad - c_syn)
+        w = _pad2d(_stage_weights(w2d, wmode), m_pad - m_syn, c_pad - c_syn)
     else:
         w = jnp.zeros((tm, tc), jnp.float32)
 
-    out_dtype = jnp.int32 if not weighted else jnp.float32
+    out_dtype = jnp.int32 if not weighted else _weighted_out_dtype(wmode)
     # nba_out == nba_pad and nbb_out == nbb_pad (both already sublane-
     # rounded; output tiles need no lane rounding — Mosaic masks them)
 
@@ -1712,7 +1794,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
     n2 = 1 << log2_n2
 
     weighted = weights_2d is not None
-    out_dtype = jnp.int32 if not weighted else jnp.float32
+    out_dtype = jnp.int32 if not weighted else _weighted_out_dtype(wmode)
     n_outs = 1 + (
         _weighted_extra_outputs(faithful, wmode) if weighted else 0
     )
@@ -1762,7 +1844,7 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         _pad_operand(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d
     ]
     if weighted:
-        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn,
+        w = _pad2d(_stage_weights(weights_2d, wmode), m_pad - m_syn,
                    c_pad - c_syn)
 
     edge_ops = _edge_cols_or_dummies(edges, uniform)
@@ -1987,13 +2069,13 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins, wmode="split",
     n_slots_pad = n_chunks * slot_chunk
 
     weighted = weights_2d is not None
-    out_dtype = jnp.int32 if not weighted else jnp.float32
+    out_dtype = jnp.int32 if not weighted else _weighted_out_dtype(wmode)
 
     padded = [
         _pad_operand(a, m_pad - m_syn, c_pad - c_syn) for a in arrays_2d
     ]
     if weighted:
-        w = _pad2d(weights_2d.astype(jnp.float32), m_pad - m_syn,
+        w = _pad2d(_stage_weights(weights_2d, wmode), m_pad - m_syn,
                    c_pad - c_syn)
 
     edge_ops = _edge_cols_or_dummies(edges, uniform)

@@ -13,8 +13,16 @@ core.py:403-439) — with the TPU-native design from SURVEY.md §2.2/§2.3:
      their sharding, no gather needed.
 
 Two usage modes:
-  - implicit (GSPMD): call ``xhistogram_tpu.core.histogram`` under jit on
-    sharded arrays; XLA inserts the collectives. Good default.
+  - implicit: call ``xhistogram_tpu.core.histogram`` on mesh-sharded
+    arrays. EAGER calls auto-delegate here (core._infer_mesh_sharding →
+    ``histogram_sharded``), so the per-shard kernel + psum structure is
+    guaranteed. Calls traced inside a USER jit cannot be delegated and
+    fall to GSPMD: the XLA strategies partition fine (collectives in the
+    HLO, pinned by tests), but the pallas custom call carries no
+    partitioning rule — on a real multi-chip mesh GSPMD would all-gather
+    its operands and run the kernel replicated (correct, not distributed).
+    Inside your own jit over a mesh, call ``histogram_sharded`` (or wrap
+    in ``shard_map`` yourself).
   - explicit (this module): ``histogram_sharded`` wraps the pipeline in
     ``shard_map`` so the per-device kernel and the single ``psum`` are
     guaranteed, independent of partitioner heuristics.
@@ -40,6 +48,7 @@ from ..core import (
     _histogram_impl,
     _prepare_device,
     _uniform_static_key,
+    device_view,
 )
 from ..utils.axes import normalize_axis
 
@@ -84,11 +93,15 @@ def histogram_sharded(
 ):
     """Explicitly sharded histogram over a device mesh.
 
-    All inputs (and weights) must share one shape and one ``in_spec`` laying
-    them out over ``mesh``. Each device histograms its local shard; a single
+    Inputs and weights are broadcast against each other (the reference's
+    ``broadcast_arrays``, core.py:366); ``in_spec`` lays out the BROADCAST
+    shape over ``mesh``. Each device histograms its local shard; a single
     ``psum`` over the mesh axes that shard reduced data axes combines the
     partials. Kept axes keep their sharding in the output. ``precision``
     selects the per-call weighted-precision mode (see ``core.histogram``).
+    Note an eager ``broadcast_to`` of a lower-rank operand materializes the
+    full shape on the default device before resharding — pre-broadcast and
+    pre-shard giant operands yourself if that matters.
 
     Returns ``(hist, bin_edges_list)`` like the core API.
     """
@@ -96,20 +109,44 @@ def histogram_sharded(
         raise ValueError("histogram_sharded() requires at least one input array")
 
     args = [_coerce_host(a) for a in args]
+    if weights is not None:
+        weights = _coerce_host(weights)
     edges_np = _bins_mod.resolve_bin_edges(args, bins, range, weights)
     nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
+
+    # Weight-side exact-device policy (same as core.histogram): lossless
+    # int32 views narrow; integer weights beyond it take the exact digit
+    # path below (their int64/uint64 sums cannot ride a single int32 psum).
+    wide_weights = None
+    w_host_int = None  # concrete int weights (digit-count from min/max)
+    if (
+        weights is not None
+        and isinstance(weights, np.ndarray)
+        and weights.dtype.kind in "iu"
+    ):
+        wv = device_view(weights)
+        if wv is None:
+            wide_weights = weights
+            weights = None  # resolved below, after shapes/axes are known
+        else:
+            weights = w_host_int = wv
 
     # Exact device representation (wide-numpy remap + comparison-form edges;
     # same host prep as the core path).
     args, edges_dev, n_hi_clip, uniform = _prepare_device(args, edges_np)
     arrays = [jnp.asarray(a) for a in args]
-    shape = arrays[0].shape
-    for a in arrays[1:]:
-        if a.shape != shape:
-            raise ValueError(
-                "histogram_sharded requires identically-shaped inputs; "
-                "broadcast before sharding"
-            )
+    # Broadcast parity with core.histogram / the reference (core.py:366):
+    # lower-rank/length-1 inputs broadcast against each other and the
+    # weights; ``in_spec`` lays out the BROADCAST shape (VERDICT r3 #8 —
+    # inputs previously had to be pre-broadcast while weights were not).
+    to_b = list(arrays) + (
+        [jnp.asarray(weights)] if weights is not None else []
+    )
+    shape = np.broadcast_shapes(
+        *[a.shape for a in to_b],
+        *([] if wide_weights is None else [wide_weights.shape]),
+    )
+    arrays = [jnp.broadcast_to(a, shape) for a in arrays]
     if weights is not None:
         weights = jnp.broadcast_to(jnp.asarray(weights), shape)
 
@@ -117,6 +154,61 @@ def histogram_sharded(
     axis_t = normalize_axis(axis, ndim)
     out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
     n_inputs = len(arrays)
+
+    if wide_weights is not None:
+        # Exact wide-integer-weight path (mirror of core.histogram's): one
+        # int32-weight sharded histogram per signed base-256 digit, host
+        # 64-bit combine. Per-digit slot sums ride a single int32 psum —
+        # exact only while 128 * reduced < 2**31, hence the loud guard.
+        from ..core import _INTW_CHUNK
+        from ..ops import intweights as _intw
+
+        reduced = int(
+            np.prod([shape[a] for a in axis_t])
+            if axis_t is not None
+            else np.prod(shape)
+        )
+        if reduced > _INTW_CHUNK:
+            raise ValueError(
+                f"one output row reduces {reduced} elements with integer "
+                f"weights beyond int32 range: per-digit int32 psums would "
+                f"overflow. Stream reduce-axis chunks of <= {_INTW_CHUNK} "
+                f"elements through xhistogram_tpu.StreamingHistogram (its "
+                f"per-chunk results accumulate exactly on the host), or "
+                f"call core.histogram eagerly on the gathered data."
+            )
+        if any(_bins_mod.is_traced(a) for a in arrays):
+            raise ValueError(
+                "integer weights beyond exact int32 range need the host "
+                "digit path, which cannot run under tracing; call "
+                "histogram_sharded eagerly"
+            )
+        w_b = np.broadcast_to(wide_weights, shape)
+        n_digits = (
+            _intw.digits_for_bounds(w_b.min(), w_b.max()) if w_b.size else 1
+        )
+        parts = []
+        for d in _intw.host_digits(w_b, n_digits):
+            h_d, _ = histogram_sharded(
+                *arrays,
+                mesh=mesh,
+                in_spec=in_spec,
+                bins=[e for e in edges_np],
+                axis=axis,
+                weights=d,
+                density=False,
+                block_size=block_size,
+                method=method,
+            )
+            parts.append(np.asarray(h_d).astype(np.int64))
+        h = _intw.combine_digit_sums(
+            parts, unsigned=wide_weights.dtype.kind == "u"
+        )
+        if density:
+            bin_axes = tuple(_builtin_range(-n_inputs, 0))
+            totals = h.sum(axis=bin_axes, keepdims=True)
+            h = h / _bins_mod.bin_areas(edges_np) / totals
+        return h, edges_np
 
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
 
@@ -176,6 +268,12 @@ def histogram_sharded(
     # mode-independent when unweighted — don't fork the jit cache on it
     if weights is None:
         precision = None
+    elif jnp.issubdtype(weights.dtype, jnp.integer):
+        # integer weights: exact in every mode — normalize to the internal
+        # digit mode (same policy as core.histogram)
+        from ..ops.intweights import device_digits
+
+        precision = f"int{device_digits(w_host_int, weights.dtype)}"
     uniform = _uniform_static_key(
         uniform,
         n_inputs,
@@ -186,7 +284,6 @@ def histogram_sharded(
         weights is not None,
         weights.dtype if weights is not None else None,
         n_hi_clip,
-        weights is not None and jnp.issubdtype(weights.dtype, jnp.integer),
         weighted_mode=precision,
     )
 

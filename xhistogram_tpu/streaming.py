@@ -128,12 +128,16 @@ class StreamingHistogram:
         self._weighted = weighted
         # Host-side accumulation in wide dtypes: int64 counts (no int32
         # overflow however many chunks stream through — the reference's
-        # int64 contract) / f64 weighted sums. The per-chunk transfer is
-        # noise next to reading the chunk itself.
+        # int64 contract; uint64 weighted sums keep their unsignedness) /
+        # f64 weighted sums. The per-chunk transfer is noise next to
+        # reading the chunk itself.
         h = np.asarray(h)
-        h = h.astype(np.int64) if h.dtype.kind in "iu" else h.astype(
-            np.float64
-        )
+        if h.dtype.kind == "u":
+            h = h.astype(np.uint64)
+        elif h.dtype.kind == "i":
+            h = h.astype(np.int64)
+        else:
+            h = h.astype(np.float64)
         n_kept = h.ndim - self._n_inputs
         if kept_offset is None:
             kept_offset = (0,) * n_kept
@@ -167,7 +171,11 @@ class StreamingHistogram:
                         f"{prev.shape}: chunks at one offset may only vary "
                         "along reduced axes"
                     )
-                self._blocks[kept_offset] = prev + h
+                # pin the accumulator dtype from the first chunk: numpy
+                # would silently promote mixed uint64+int64 adds to float64
+                self._blocks[kept_offset] = prev + h.astype(
+                    prev.dtype, copy=False
+                )
         return self
 
     def _stitched(self):
