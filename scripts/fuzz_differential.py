@@ -85,13 +85,30 @@ def one_case(rng, case_idx, methods):
         if len(axis) == ndim and rng.rand() < 0.5:
             axis = None
     weights = None
+    int_w = False
     if rng.rand() < 0.5:
-        weights = rng.rand(*shape).astype("f4") * 3
+        r = rng.rand()
+        if r < 0.6:
+            weights = rng.rand(*shape).astype("f4") * 3
+        elif r < 0.85:
+            # integer weights, totals well inside int32 (exact everywhere,
+            # fused digit kernels vs scatter vs the f64 oracle)
+            weights = rng.randint(-(10**6), 10**6, shape).astype(
+                rng.choice(["i1", "i2", "i4"])
+            )
+            int_w = True
+        else:
+            # wide int64 weights (the exact host digit path); magnitudes
+            # kept < 2**50 so the f64 oracle itself stays exact
+            weights = rng.randint(-(2**12), 2**12, shape).astype(
+                "i8"
+            ) * np.int64(2**38) + rng.randint(-100, 100, shape)
+            int_w = True
     density = rng.rand() < 0.3 and weights is None
     # per-call weighted precision (the i8 modes' absolute-error bounds need
     # their own tolerances; they keep dedicated tests)
     precision = None
-    if weights is not None and rng.rand() < 0.5:
+    if weights is not None and not int_w and rng.rand() < 0.5:
         precision = str(rng.choice(["split", "highest"]))
 
     exp = oracle(arrays, edges, axis, weights, density)
@@ -105,8 +122,10 @@ def one_case(rng, case_idx, methods):
         except NotImplementedError:
             continue
         got = np.asarray(h)
-        if weights is None and not density:
-            ok = np.array_equal(got, exp)
+        if (weights is None or int_w) and not density:
+            # integer results are exact; the f64 oracle is exact at the
+            # drawn magnitudes, so equality must be bitwise
+            ok = np.array_equal(got.astype("f8"), exp)
         else:
             ok = np.allclose(got, exp, rtol=2e-4, atol=1e-5, equal_nan=True)
         if not ok:

@@ -144,6 +144,17 @@ if __name__ == "__main__":
     run("joint2 280x340 weighted(highest)", (280, 340), 1024, 1 << 18, 2,
         True, 3 * 288 * 344, 4 * (288 + 344) + 40, axis=None,
         wmode="highest")
+    # integer-digit weighted (r4, exact mod 2**32): N int8 sections at the
+    # 2x int8 MXU rate; VPU adds ~7 extraction+staging ops per digit
+    run("joint2 280x340 weighted(int1)", (280, 340), 1024, 1 << 18, 2,
+        True, 1 * 288 * 344, 2 * (288 + 344) + 7 + 40, axis=None,
+        wmode="int1", mxu_rate=2.0)
+    run("joint2 280x340 weighted(int2)", (280, 340), 1024, 1 << 18, 2,
+        True, 2 * 288 * 344, 2 * (288 + 344) + 14 + 40, axis=None,
+        wmode="int2", mxu_rate=2.0)
+    run("joint2 280x340 weighted(int4)", (280, 340), 1024, 1 << 18, 2,
+        True, 4 * 288 * 344, 2 * (288 + 344) + 28 + 40, axis=None,
+        wmode="int4", mxu_rate=2.0)
     # factored 1M slots: n1≈976·n2=1024; VPU = Σedges + n1c+n2 per chunk
     run("factored 1000x1000 full-reduce", (1000, 1000), 1024, 49152, 2,
         False, 1_000_000, 2 * 2002 + 2 * 3000, axis=None, mxu_rate=2.0)
