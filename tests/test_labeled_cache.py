@@ -155,3 +155,27 @@ def test_cache_precision_in_key():
     assert len(api._PIPELINE_CACHE) == 2
     np.testing.assert_array_equal(np.asarray(h_hi.values), w)
     assert not np.array_equal(np.asarray(h_sp.values), w)
+
+
+def test_cache_int_weights_digit_mode():
+    """Int32 weights ride the CACHED jitted pipeline (device-safe view):
+    the internal digit mode must come from the dtype bounds under tracing,
+    produce exact results, and key the cache consistently."""
+    api._PIPELINE_CACHE.clear()
+    a = _mk(3)
+    rng = np.random.RandomState(4)
+    w = NamedArray(
+        rng.randint(-1000, 1000, (4, 32)).astype(np.int32), ("time", "x")
+    )
+    edges = np.linspace(-3, 3, 9)
+    h1 = histogram(a, bins=edges, dim=["x"], weights=w)
+    n_entries = len(api._PIPELINE_CACHE)
+    h2 = histogram(a, bins=edges.copy(), dim=["x"], weights=w)
+    assert len(api._PIPELINE_CACHE) == n_entries  # second call reused it
+    expected = np.stack(
+        [np.histogram(r, bins=edges, weights=ww)[0]
+         for r, ww in zip(np.asarray(a.data, "f8"), np.asarray(w.data))]
+    )
+    assert np.asarray(h1.data).dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(h1.data), expected)
+    np.testing.assert_array_equal(np.asarray(h2.data), expected)
