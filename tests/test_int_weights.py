@@ -470,3 +470,68 @@ def test_streaming_uint64_keeps_unsigned():
     h, _ = acc.result()
     assert h.dtype == np.uint64
     np.testing.assert_array_equal(h, np.array([2**63 + 8], np.uint64))
+
+
+def test_wide_data_and_wide_weights_together():
+    """int64 data needing host rank codes AND int64 weights needing the
+    digit path, in one call — the two exactness machines compose."""
+    data = np.array(
+        [2**62 + 1, 2**62 + 2, -(2**61), 0, 2**62 + 1], dtype=np.int64
+    )
+    edges = np.array([-(2**61), 2**62 + 2], dtype=np.int64)
+    w = np.array([2**40, 1, 3, 5, 2**33], dtype=np.int64)
+    h, _ = histogram(data, bins=edges, weights=w)
+    # closed last bin includes 2**62+2; all five values are in range
+    assert h.dtype == np.int64
+    np.testing.assert_array_equal(
+        h.astype(object), [2**40 + 1 + 3 + 5 + 2**33]
+    )
+
+
+def test_digit_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def inner(vals):
+        arr = np.array(vals, np.int64)
+        n = intw.digits_for_bounds(arr.min(), arr.max())
+        digits = intw.host_digits(arr, n)
+        recon = intw.combine_digit_sums(
+            [d.astype(np.int64) for d in digits], unsigned=False
+        )
+        np.testing.assert_array_equal(recon, arr)
+        for d in digits:
+            assert d.min() >= -128 and d.max() <= 127
+
+    inner()
+
+
+def test_digit_roundtrip_hypothesis_uint64():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def inner(vals):
+        arr = np.array(vals, np.uint64)
+        digits = intw.host_digits(arr, 9)
+        recon = intw.combine_digit_sums(
+            [d.astype(np.int64) for d in digits], unsigned=True
+        )
+        np.testing.assert_array_equal(recon, arr)
+
+    inner()
