@@ -85,8 +85,17 @@ def run(name, nbins, m, c, n_inputs, weighted, macs_per_elem, vpu_per_elem,
             jax.random.normal(jax.random.fold_in(k, i), (m, c), jnp.float32)
             for i in range(n_inputs)
         )
-        w = (jax.random.uniform(jax.random.fold_in(k, 9), (m, c),
-                                jnp.float32) if weighted else None)
+        if not weighted:
+            w = None
+        elif wmode and wmode.startswith("int"):
+            # integer-digit modes take int32 weights; span sets the digit
+            # count (must match the mode so the row measures what it says)
+            span = {"int1": 100, "int2": 9000, "int4": 1 << 30}[wmode]
+            w = jax.random.randint(jax.random.fold_in(k, 9), (m, c),
+                                   -span, span + 1, jnp.int32)
+        else:
+            w = jax.random.uniform(jax.random.fold_in(k, 9), (m, c),
+                                   jnp.float32)
         h = _histogram_impl(
             arrs, w, eds, axis=axis, nbins=nbins, density=False,
             method=method, block_size="auto", has_weights=weighted,

@@ -250,6 +250,42 @@ def test_traced_requires_array_bins():
     )
 
 
+def test_concrete_device_edges_accepted():
+    """CONCRETE jax edge arrays are valid bins everywhere numpy edges are
+    (coerced host-side, bins.concrete_edges) — including under a user jit;
+    TRACED edge arrays raise TypeError (no host values for compare_form)."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.random.RandomState(7).randn(6, 200).astype(np.float32)
+    dev_edges = jnp.asarray(bins_arr)
+    expected = np.stack(
+        [np.histogram(row.astype(np.float64), bins=bins_arr)[0]
+         for row in data]
+    )
+
+    # eager, list entry, and single-spec forms
+    h1, _ = histogram(data, bins=[dev_edges], axis=1)
+    h2, _ = histogram(data, bins=dev_edges, axis=1)
+    np.testing.assert_array_equal(np.asarray(h1), expected)
+    np.testing.assert_array_equal(np.asarray(h2), expected)
+
+    # under a user jit (traced data, concrete device edges)
+    @jax.jit
+    def g(x):
+        return histogram(x, bins=[dev_edges], axis=1)[0]
+
+    np.testing.assert_array_equal(np.asarray(g(data)), expected)
+
+    # traced edges: loud error, not silent wrong exactness
+    @jax.jit
+    def bad(x, e):
+        return histogram(x, bins=[e], axis=1)[0]
+
+    with pytest.raises(TypeError, match="concrete"):
+        bad(data, dev_edges)
+
+
 def test_histogram_results_datetime():
     """Datetime data and edges (reference test_core.py:365-382)."""
     data = np.arange(

@@ -22,6 +22,7 @@ from typing import NamedTuple
 import numpy as np
 
 __all__ = [
+    "concrete_edges",
     "normalize_bins",
     "normalize_range",
     "resolve_bin_edges",
@@ -42,19 +43,43 @@ def is_traced(x) -> bool:
     return isinstance(x, jax.core.Tracer)
 
 
+def concrete_edges(b):
+    """Host view of an explicit edge array: CONCRETE jax arrays coerce to
+    numpy (edge values feed the host-side exactness transforms —
+    ``compare_form`` needs float64 host arithmetic, so device residence is
+    irrelevant but concreteness is not); TRACED edge arrays raise. Non-jax
+    values pass through untouched (int/str specs, numpy arrays, lists).
+    """
+    import jax
+
+    if isinstance(b, jax.Array):
+        if is_traced(b):
+            raise TypeError(
+                "bin edges must be concrete: edges computed inside "
+                "jit/vmap have no host values for the exactness "
+                "transforms (bins.compare_form) — pass numpy edge arrays "
+                "(or concrete device arrays) from outside the trace"
+            )
+        return np.asarray(b)
+    return b
+
+
 def normalize_bins(bins, n_expected):
     """Normalize a bins spec to a per-input list of length ``n_expected``.
 
     Accepts an int, str, or 1-D array (applied to every input), or a list with
     one entry per input. Raises ``ValueError`` on missing bins or a length
-    mismatch — the same contract as the reference (core.py:37-48).
+    mismatch — the same contract as the reference (core.py:37-48). Concrete
+    jax edge arrays are accepted anywhere numpy edges are (coerced host-side
+    by ``concrete_edges``).
     """
     if bins is None:
         raise ValueError("bins must be provided")
+    bins = concrete_edges(bins)
     if isinstance(bins, (int, str, np.ndarray)):
         bins = n_expected * [bins]
     if len(bins) == n_expected:
-        return list(bins)
+        return [concrete_edges(b) for b in bins]
     raise ValueError("The number of bin definitions doesn't match the number of args")
 
 
