@@ -2,7 +2,7 @@
 random shapes/axes/dtypes/bins/weights/density configs. Standalone hunter
 (run long with --n); tests/test_fuzz_differential.py runs a seeded slice.
 
-Usage: PYTHONPATH= JAX_PLATFORMS=cpu python scripts/fuzz_differential.py [--n 300]
+Usage: PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/fuzz_differential.py [--n 300]
 """
 
 import argparse
