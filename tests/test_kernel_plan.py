@@ -109,6 +109,45 @@ def test_weighted_gate_actual_channel_count():
     )
 
 
+def test_weighted_full_caps_per_mode():
+    """The weighted full-reduction slot cap is per-precision-mode: the
+    integer digit modes run 2-4x split's MXU rate, so their fused-vs-scatter
+    crossovers sit higher (measured, scripts/r4_wmode_caps.py @ c=1e7:
+    int1 0.77 GB/s vs scatter ~0.45 at 524k slots and still ahead near 1M;
+    int2 0.59 at 524k but 0.29 vs 0.39 at 1.05M; i8 0.51 at 524k;
+    i8x3 0.46 = tie at 524k; highest 0.56 vs ~0.46 at 2^18 but 0.32 at
+    524k). split keeps the r3 cap."""
+    kw = dict(weighted=True)
+    # split (default): cap 2^18 (r3 fused_midslot_probe)
+    assert ph.plan(3, (64, 64, 63), 1, **kw) == "factored"
+    assert ph.plan(3, (64, 64, 64), 1, **kw) is None
+    assert ph.plan(3, (64, 64, 64), 1, wmode="split", **kw) is None
+    # int1: cap 2^20 — (1024, 1023)+1 slots fits, (1024, 1024)+1 exceeds
+    assert ph.plan(2, (1024, 1023), 1, wmode="int1", **kw) == "factored"
+    assert ph.plan(2, (1024, 1024), 1, wmode="int1", **kw) is None
+    # int2 / i8 / i8x3: cap 2^19 (3 inputs — 2-input shapes ride joint2)
+    for mode in ("int2", "i8", "i8x3"):
+        assert ph.plan(3, (64, 64, 127), 1, wmode=mode, **kw) == "factored"
+        assert ph.plan(3, (64, 64, 128), 1, wmode=mode, **kw) is None
+    # int3/int4/highest: split-cost class, keep the 2^18 cap
+    for mode in ("int3", "int4", "highest"):
+        assert ph.plan(3, (64, 64, 63), 1, wmode=mode, **kw) == "factored"
+        assert ph.plan(3, (64, 64, 64), 1, wmode=mode, **kw) is None
+    # supports() sees the same per-mode boundary (single source of truth)
+    import jax.numpy as jnp
+
+    assert ph.supports(
+        2, (1024, 1023), 1, weighted=True, weights_dtype=jnp.int32,
+        wmode="int1",
+    )
+    assert not ph.supports(
+        2, (1024, 1024), 1, weighted=True, weights_dtype=jnp.int32,
+        wmode="int1",
+    )
+    # unweighted cap unaffected
+    assert ph.plan(2, (1024, 1024), 1) == "factored"
+
+
 def test_wmode_kahan_channel_tightens_weighted_gate():
     """highest mode carries one extra per-slot output (the Kahan
     compensation block), so its kept-row output bound (2^28 elements,

@@ -241,8 +241,34 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _weighted_full_cap(wmode):
+    """Weighted full-reduction slot cap per precision mode.
+
+    The r3 crossover measurement (scripts/fused_midslot_probe.py) that set
+    the 2^18 cap ran the DEFAULT split mode (2 bf16 MXU sections per
+    element·slot). The other modes pay proportionally different MXU costs —
+    int1 0.25x split, int2/i8 0.5x, i8x3 0.75x, int3 0.75x, int4 1.0x,
+    highest 1.5x — so their fused rates cross the ~flat scatter fallback at
+    different slot counts. Measured per mode at c=1e7
+    (scripts/r4_wmode_caps.py, r4): the cheap integer modes keep beating
+    scatter 2-4x past 2^18 and their caps move to the measured crossovers;
+    'highest' keeps the split cap even though scatter is marginally faster
+    near it — an explicit precision='highest' request is an exactness
+    request, and the f32 scatter-add fallback has a different error model
+    (per-element rounding instead of exact products + Kahan), so speed must
+    not silently trade it away.
+    """
+    n = _int_wmode(_resolve_wmode(wmode))
+    if n is not None:
+        # int1 wins to ~2^20, int2/int3 to ~2^19 (measured); int4 carries
+        # the split-cost cap (2 sections-equivalent)
+        return 1 << max(18, min(20, 21 - n))
+    return {"split": 1 << 18, "i8": 1 << 19, "i8x3": 1 << 19,
+            "highest": 1 << 18}[_resolve_wmode(wmode)]
+
+
 def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
-         uniform=None):
+         uniform=None, wmode=None):
     """Single source of truth for kernel selection: the kernel name this
     problem shape runs on efficiently, or ``None`` when the XLA strategies
     are the better/safer choice. BOTH ``supports()`` ('auto' upstream
@@ -274,7 +300,10 @@ def plan(n_inputs, nbins, m, c=None, weighted=False, n_outs=None,
     # auto rule, ops/bincount.py.) Kept-row regimes keep the old caps:
     # their fused kernels run 10-100x the XLA fallback (packed ~1000x)
     # and the 2^28-element output bound limits them anyway.
-    full_cap = (1 << 18) if weighted else (1 << 21)
+    # The weighted cap is per-precision-mode (_weighted_full_cap): the
+    # integer digit modes run 2-4x split's MXU rate, so their crossovers
+    # vs scatter sit 2-4x higher (measured, scripts/r4_wmode_caps.py).
+    full_cap = _weighted_full_cap(wmode) if weighted else (1 << 21)
     kept_cap = (1 << 24) if weighted else (1 << 25)
     # The edge cap bounds the O(Σ n_edges) VPU digitize (fori-loop body,
     # flat compile time; measured 40x sort at 4k edges, 4.7x at 32k).
@@ -402,7 +431,7 @@ def supports(
         n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(wmode))
     return (
         plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs,
-             uniform=uniform)
+             uniform=uniform, wmode=wmode)
         is not None
     )
 
@@ -441,7 +470,7 @@ def planned_kernel(n_inputs, nbins, m, c=None, weighted=False,
         )
         n_outs = 1 + _weighted_extra_outputs(faithful, _resolve_wmode(wmode))
     kernel = plan(n_inputs, nbins, m, c=c, weighted=weighted, n_outs=n_outs,
-                  uniform=uniform)
+                  uniform=uniform, wmode=wmode)
     if kernel is None and forced:
         kernel = "factored" if m == 1 else "direct"
     return kernel
@@ -2181,6 +2210,7 @@ def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
         weighted=weights_2d is not None,
         n_outs=n_outs,
         uniform=uniform,
+        wmode=wmode,
     )
     forced = _os.environ.get("XHIST_FORCE_KERNEL")
     if forced:  # probe/bench knob: bypass plan()'s choice
