@@ -2,8 +2,9 @@
 match the exact oracle on the real TPU (interpret mode can't prove either).
 
 Covers: int32 VMEM weight operands, in-kernel digit extraction (shifts /
-compares / int32 mul on (1,E)), f32-staged bool*digit→int8 casts, int32
-output accumulation — per kernel family and digit count.
+compares / int32 mul on (1,E)), digit staging (int32-select by default,
+f32 product under XHIST_INTW_SELECT=0), int32 output accumulation — per
+kernel family and digit count.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/r4_intw_probe.py
 """

@@ -222,6 +222,15 @@ _SPLIT_TWO_DOTS = _os.environ.get("XHIST_SPLIT_TWO_DOTS", "0") == "1"
 # with the MXU (current chunk's matmul). Measured on the 1e9-element T-S
 # bench: k=1 10.14 GB/s, k=2 10.53, k=4 10.97, k=8 11.12, k=16 11.20.
 _JOINT2_ESPLIT = int(_os.environ.get("XHIST_JOINT2_ESPLIT", "16"))
+# intN digit staging: 1 (default) = pure-integer select (jnp.where of the
+# (1,E) int32 digit row into the one-hot positions, then narrow to int8);
+# 0 = f32 product + cast (the i8-mode lowering the intN branch first
+# borrowed). The modes are staging-bound at 1-2 digits, and the select
+# build skips the bool→f32 cast + f32 multiply per digit: measured on chip
+# (scripts/r4_intw_perf.py under XHIST_INTW_SELECT=0/1, weighted T-S,
+# 2^28 elems) int1 10.66 → 16.00 GB/s kern, int2 6.62 → 8.51,
+# int4 4.04 → 4.66; parity re-proven by scripts/r4_intw_probe.py.
+_INTW_SELECT = _os.environ.get("XHIST_INTW_SELECT", "1") == "1"
 # Nonfinite-weight faithfulness (see ops/nonfinite.py): matmul counting
 # computes w·onehot products, so a NaN/±inf weight times a *zero* one-hot
 # entry would poison every slot of its row-block (NaN·0 = NaN), where the
@@ -673,7 +682,9 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
         # output contract (numpy's reference path, core.py:81, loses
         # integer exactness at 2**53 through float64). ``faithful`` is
         # never set for integer weights (no NaN/inf to route).
-        lhs_f = oh_lhs_bool.astype(jnp.float32)
+        lhs_f = (
+            None if _INTW_SELECT else oh_lhs_bool.astype(jnp.float32)
+        )
         rem = w_row  # (1, E) int32
         counts = None
         for j in range(n_digits):
@@ -690,7 +701,17 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
             adj = (low >= 128).astype(jnp.int32)
             digit = low - adj * 256
             rem = hi + adj
-            lhs_k = (lhs_f * digit.astype(jnp.float32)).astype(jnp.int8)
+            if _INTW_SELECT:
+                # pure-integer staging: select the (1, E) digit row into the
+                # one-hot positions and narrow — skips the f32 product (the
+                # direct int8 `where` relayout hazard is int8-mask-specific;
+                # int32 select lowers fine, +15-50% measured — see the
+                # _INTW_SELECT knob comment).
+                lhs_k = jnp.where(
+                    oh_lhs_bool, digit, jnp.int32(0)
+                ).astype(jnp.int8)
+            else:
+                lhs_k = (lhs_f * digit.astype(jnp.float32)).astype(jnp.int8)
             dk = jax.lax.dot_general(
                 lhs_k, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.int32,
