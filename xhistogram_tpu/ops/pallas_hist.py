@@ -231,6 +231,19 @@ _JOINT2_ESPLIT = int(_os.environ.get("XHIST_JOINT2_ESPLIT", "16"))
 # 2^28 elems) int1 10.66 → 16.00 GB/s kern, int2 6.62 → 8.51,
 # int4 4.04 → 4.66; parity re-proven by scripts/r4_intw_probe.py.
 _INTW_SELECT = _os.environ.get("XHIST_INTW_SELECT", "1") == "1"
+# The float-mode analogs of the intN staging A/B, measured on chip
+# (scripts/r4_floatw_stage.py, weighted T-S 2^28 elems):
+#  - i8/i8x3 limbs are integer-valued f32: select-then-narrow exactly as
+#    intN (int32 select avoids the int8-mask relayout hazard) — i8
+#    6.01 → 7.49 GB/s kern (+25%), i8x3 4.68 → 5.53 (+18%); DEFAULT ON.
+#  - split/highest bf16 limb staging: a DIRECT bf16 select fails to lower
+#    (Mosaic "invalid relayout", (8,128) i1 mask vs (16,128) bf16 tiling —
+#    the int8 hazard's bf16 twin); the f32-select+narrow route lowers but
+#    measures FLAT (split 4.87→4.86, highest 3.30→3.30 — one f32 select +
+#    f32→bf16 cast per limb costs the same as the shared bool→bf16 cast +
+#    bf16 multiply). Negative result; default stays off.
+_I8_SELECT = _os.environ.get("XHIST_I8_SELECT", "1") == "1"
+_BF16_SELECT = _os.environ.get("XHIST_BF16_SELECT", "0") == "1"
 # Nonfinite-weight faithfulness (see ops/nonfinite.py): matmul counting
 # computes w·onehot products, so a NaN/±inf weight times a *zero* one-hot
 # entry would poison every slot of its row-block (NaN·0 = NaN), where the
@@ -739,17 +752,23 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
         amax = jnp.max(jnp.abs(wf))
         s = jnp.maximum(amax, jnp.float32(1e-30)) * jnp.float32(1.0 / 127.0)
         q = wf * (jnp.float32(1.0) / s)
-        # f32 select-then-cast: a direct int8 `where` against the (rows, E)
-        # bool mask hits an unsupported Mosaic relayout ((8,128) mask vs
-        # (32,128) int8 tiling); the f32 product lowers and the cast is the
-        # same known-good bool→int8 path the unweighted kernels use
-        lhs_f = oh_lhs_bool.astype(jnp.float32)
+        # staging per limb: default is the f32 product-then-cast (a direct
+        # int8 `where` against the (rows, E) bool mask hits an unsupported
+        # Mosaic relayout — (8,128) mask vs (32,128) int8 tiling); the
+        # _I8_SELECT build selects the integer-valued limb in int32 and
+        # narrows, as the intN modes do (see _INTW_SELECT)
+        lhs_f = None if _I8_SELECT else oh_lhs_bool.astype(jnp.float32)
         counts = None
         scale = jnp.float32(1.0)
         rem = q
         for _ in range(n_limbs):
             qk = jnp.floor(rem + jnp.float32(0.5))  # round-half-up
-            lhs_k = (lhs_f * qk).astype(jnp.int8)
+            if _I8_SELECT:
+                lhs_k = jnp.where(
+                    oh_lhs_bool, qk.astype(jnp.int32), jnp.int32(0)
+                ).astype(jnp.int8)
+            else:
+                lhs_k = (lhs_f * qk).astype(jnp.int8)
             d = jax.lax.dot_general(
                 lhs_k, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.int32,
@@ -759,19 +778,28 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
             scale = scale * jnp.float32(1.0 / 128.0)
         counts = counts * s
     elif wmode == "split":
-        lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
         hi, lo = _split_bf16(wf)
+        if _BF16_SELECT:
+            # a DIRECT bf16 select hits the int8-style Mosaic relayout wall
+            # ((8,128) mask vs (16,128) bf16 tiling — probed, r4): select in
+            # f32 (same tiling as the mask) and narrow
+            stage = lambda limb: jnp.where(  # noqa: E731
+                oh_lhs_bool, limb.astype(jnp.float32), jnp.float32(0)
+            ).astype(jnp.bfloat16)
+        else:
+            lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
+            stage = lambda limb: lhs_b * limb  # noqa: E731
         if _SPLIT_TWO_DOTS:
             # two plain dots (no sublane concat copy of the stacked lhs)
             counts = jax.lax.dot_general(
-                lhs_b * hi, rhs_w, dimension_numbers=dn,
+                stage(hi), rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                lhs_b * lo, rhs_w, dimension_numbers=dn,
+                stage(lo), rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )
         else:
-            lhs = jnp.concatenate([lhs_b * hi, lhs_b * lo], axis=0)
+            lhs = jnp.concatenate([stage(hi), stage(lo)], axis=0)
             res = jax.lax.dot_general(
                 lhs, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
@@ -792,7 +820,6 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
         # bf16-subnormal threshold flush on-device — absolute error
         # < 2^-126 per weight, far below the cross-tile accumulation
         # noise the Kahan channel already absorbs.
-        lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
         rhs = (
             rhs_w
             if rhs_w.dtype == jnp.bfloat16
@@ -803,7 +830,17 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
         r1 = wf - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        lhs = jnp.concatenate([lhs_b * hi, lhs_b * mid, lhs_b * lo], axis=0)
+        if _BF16_SELECT:
+            # a DIRECT bf16 select hits the int8-style Mosaic relayout wall
+            # ((8,128) mask vs (16,128) bf16 tiling — probed, r4): select in
+            # f32 (same tiling as the mask) and narrow
+            stage = lambda limb: jnp.where(  # noqa: E731
+                oh_lhs_bool, limb.astype(jnp.float32), jnp.float32(0)
+            ).astype(jnp.bfloat16)
+        else:
+            lhs_b = oh_lhs_bool.astype(jnp.bfloat16)
+            stage = lambda limb: lhs_b * limb  # noqa: E731
+        lhs = jnp.concatenate([stage(hi), stage(mid), stage(lo)], axis=0)
         res = jax.lax.dot_general(
             lhs, rhs, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
