@@ -67,6 +67,36 @@ def test_weights_f64_downcast_documented():
     np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-5)
 
 
+@pytest.mark.parametrize("method", ["scatter", "pallas"])
+def test_bool_data(method):
+    """Bool inputs bin like numpy's (0/1 values; ref core.py:366 broadcasts
+    whatever numpy accepts, and np.histogram takes bool data)."""
+    rng = np.random.RandomState(4)
+    data = rng.rand(257) > 0.4
+    edges = np.linspace(0.0, 1.0, 5)
+    h, _ = histogram(data, bins=edges, method=method)
+    expected = np.histogram(data, bins=edges)[0]
+    np.testing.assert_array_equal(np.asarray(h), expected)
+
+
+def test_bool_weights():
+    """Bool weights act as a selection mask (counts of the True subset).
+
+    numpy's own ``np.histogram(..., weights=bool_array)`` raises a ufunc
+    casting error, so this is strictly MORE permissive than the oracle;
+    the contract pinned here is equivalence with pre-masked counts.
+    """
+    rng = np.random.RandomState(5)
+    data = rng.randn(400).astype("f4")
+    w = rng.rand(400) > 0.5
+    edges = np.linspace(-3, 3, 9)
+    h, _ = histogram(data, bins=edges, weights=w)
+    expected = np.histogram(data[w].astype("f8"), bins=edges)[0]
+    np.testing.assert_array_equal(
+        np.asarray(h).astype("i8"), expected
+    )
+
+
 def test_bf16_and_f16_data():
     """TPU-native narrow floats bin bit-exactly (edge transform is
     dtype-aware) — a capability the numpy reference never needed."""
