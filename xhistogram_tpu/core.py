@@ -571,24 +571,24 @@ def _infer_mesh_sharding(args, weights):
 _INTW_CHUNK = 1 << 23
 
 
-def _wide_int_weight_histogram(args, edges_np, weights, *, axis, density,
-                               block_size, method):
-    """Exact histogram for integer weights beyond a lossless int32 view
-    (numpy int64/uint64 straddling 2**31; VERDICT r3 #1).
+def _wide_int_digit_sums(args, edges_np, weights, *, axis, block_size,
+                         method):
+    """Exact per-digit int64 slot sums for integer weights of any width —
+    the shared engine of the wide-integer and float64-exact weight paths.
 
-    The reference feeds such weights to ``np.bincount``, which sums in
-    float64 (reference core.py:81) — exact only to 2**53. This path is
-    exact over the weights dtype's full range: the weights decompose
-    host-side into signed base-256 digit arrays (ops/intweights.py), each
-    digit histogram runs the normal int32-weight device pipeline over
-    reduce-chunks small enough that every per-slot partial is exactly
-    representable in int32, and the digit sums recombine in 64-bit host
-    arithmetic (mod 2**64 — the dtype's own wrap semantics — so results
-    are exact wherever the true sums fit int64/uint64).
+    Broadcasts host-side, canonicalizes to (kept rows, reduce cols), and
+    streams reduce-chunks of width ``_INTW_CHUNK`` through the normal
+    int32-weight device pipeline per signed base-256 digit
+    (ops/intweights.py): |digit| <= 128 bounds every per-slot chunk
+    partial inside int32, and the int64 running totals stay exact (they
+    could only round beyond ~2**55 elements per slot).
 
-    Eager only (the int64/uint64 result cannot return to a traced caller
-    under 32-bit jax); returns ``(numpy int64/uint64 counts | float64
-    density, edges)``.
+    Returns ``(digit_sums, kshape, nbins, unsigned)`` with each
+    ``digit_sums[j]`` an exact int64 array of shape ``(m_rows,) + nbins``
+    (``m_rows = prod(kshape)``) — NO mod-2**64 combine has happened, so
+    callers can recombine in whatever arithmetic their contract needs
+    (wrapping uint64 for the integer dtypes, double-double float64 for
+    the exact-f64 tier).
     """
     from .ops import intweights as _intw
 
@@ -636,10 +636,182 @@ def _wide_int_weight_histogram(args, edges_np, weights, *, axis, density,
                 method=method,
             )
             digit_sums[j] += np.asarray(part).astype(np.int64)
+    return digit_sums, kshape, nbins, unsigned
 
+
+def _wide_int_weight_histogram(args, edges_np, weights, *, axis, density,
+                               block_size, method):
+    """Exact histogram for integer weights beyond a lossless int32 view
+    (numpy int64/uint64 straddling 2**31; VERDICT r3 #1).
+
+    The reference feeds such weights to ``np.bincount``, which sums in
+    float64 (reference core.py:81) — exact only to 2**53. This path is
+    exact over the weights dtype's full range: the exact digit engine
+    (``_wide_int_digit_sums``) produces per-digit int64 slot sums, which
+    recombine in 64-bit host arithmetic (mod 2**64 — the dtype's own wrap
+    semantics — so results are exact wherever the true sums fit
+    int64/uint64).
+
+    Eager only (the int64/uint64 result cannot return to a traced caller
+    under 32-bit jax); returns ``(numpy int64/uint64 counts | float64
+    density, edges)``.
+    """
+    from .ops import intweights as _intw
+
+    digit_sums, kshape, nbins, unsigned = _wide_int_digit_sums(
+        args, edges_np, weights,
+        axis=axis, block_size=block_size, method=method,
+    )
     h = _intw.combine_digit_sums(digit_sums, unsigned).reshape(
         kshape + nbins
     )
+    if density:
+        bin_axes = tuple(_builtin_range(-len(args), 0))
+        totals = h.sum(axis=bin_axes, keepdims=True)
+        h = h / _bins_mod.bin_areas(edges_np) / totals
+    return h, edges_np
+
+
+#: binades per exponent group of the exact-f64 weight decomposition: a
+#: group's members have the lowest set bit of their mantissa within a
+#: ``stride``-binade window, so value = integer·2**s with the integer
+#: below 2**(53 + stride - 1) <= 2**62 — exactly captured by int64.
+_F64_GROUP_STRIDE = 10
+
+#: cap on NONEMPTY exponent groups (each costs one full pass of the exact
+#: integer digit engine) — generous for real weight distributions (uniform
+#: float64 randoms span ~6 groups; 32 covers a ~320-binade lowest-bit
+#: spread) while bounding the cost blowup on adversarial exponent mixes.
+_F64_MAX_GROUPS = 32
+
+
+def _f64_weight_groups(wf):
+    """Exact integer decomposition of finite float64 weights by exponent
+    group.
+
+    Yields ``(s, K)`` pairs — int64 arrays K with every nonzero weight in
+    exactly one group and ``sum_g ldexp(K_g, s_g) == wf`` EXACTLY
+    elementwise: a weight w = M·2**l (M odd, 53-bit mantissa ending at
+    bit l) lands in the group whose scale s satisfies
+    ``s <= l < s + _F64_GROUP_STRIDE``, so ``w·2**-s`` is an integer
+    below 2**62 (no rounding in the ldexp, none in the int64 cast).
+    """
+    nz = wf != 0.0
+    if not nz.any():
+        return
+    m, e = np.frexp(wf)  # wf = m·2**e, |m| in [0.5, 1)
+    # 53-bit integer mantissa (exact: m = M/2**53 with M integer)
+    k53 = np.ldexp(m, 53).astype(np.int64)
+    a = np.abs(k53)
+    low = np.where(nz, a & -a, 1)  # lowest set bit (a power of two < 2**53)
+    tz = np.log2(low.astype(np.float64)).astype(np.int64)  # exact on pow2
+    l = e.astype(np.int64) - 53 + tz  # exponent of the lowest mantissa bit
+    lmin = int(l[nz].min())
+    g = (l - lmin) // _F64_GROUP_STRIDE
+    gids = np.unique(g[nz])
+    if gids.size > _F64_MAX_GROUPS:
+        raise ValueError(
+            f"precision='f64': weights span {gids.size} exponent groups "
+            f"(> {_F64_MAX_GROUPS}); each group costs a full pass of the "
+            "exact integer engine. Split the weights by magnitude and sum "
+            "the histograms, or use precision='highest'."
+        )
+    for gi in gids:
+        sel = nz & (g == gi)
+        s = lmin + int(gi) * _F64_GROUP_STRIDE
+        K = np.ldexp(np.where(sel, wf, 0.0), -s).astype(np.int64)
+        # exact by construction (53-bit mantissa + <=9-bit spread < 2**62,
+        # and K is the weight's own f64 value rescaled, so the f64 view of
+        # K is exact) — anything else is a decomposition bug
+        assert np.array_equal(
+            np.ldexp(K.astype(np.float64), s)[sel], wf[sel]
+        )
+        yield s, K
+
+
+def _dd_add(hi, lo, x):
+    """One double-double accumulation step: ``(hi, lo) += x`` via Knuth's
+    branch-free TwoSum (an error-free transform in IEEE binary64), keeping
+    the running sum exact to ~2**-105 relative."""
+    s = hi + x
+    v = s - hi
+    e = (hi - (s - v)) + (x - v)
+    return s, lo + e
+
+
+def _f64_weight_histogram(args, edges_np, weights, *, axis, density,
+                          block_size, method):
+    """Exact float64-weighted histogram (``precision='f64'``).
+
+    The default weighted paths represent weights through float32-derived
+    limb forms (the documented f64→f32 downcast, tests/test_dtypes.py);
+    the reference sums float64 weights with np.bincount's sequential
+    float64 accumulator (reference core.py:81) — exact representation but
+    O(n·eps64) accumulation error. This tier is stronger than both: every
+    per-slot sum is computed EXACTLY and rounded once.
+
+      - finite weights decompose host-side into exponent groups
+        (``_f64_weight_groups``): within a group each weight times 2**-s
+        is an integer below 2**62, captured exactly in int64;
+      - each group runs the exact integer digit engine
+        (``_wide_int_digit_sums``) — per-digit slot sums are exact int64;
+      - all (group, digit) terms combine on the host in double-double
+        arithmetic, so the only rounding is the final one to float64:
+        correctly-rounded slot sums (to <= 1 ulp) whenever each per-digit
+        sum stays below 2**53, i.e. up to ~2**46 elements per slot;
+      - nonfinite weights (NaN/±inf) ride one ordinary float32 pass whose
+        per-slot outcome (exactly 0.0 where clean) adds IEEE-faithfully
+        at the end (scatter semantics: inf + -inf in one slot gives NaN).
+
+    Eager-only (host decomposition + float64 result), like the wide-count
+    and wide-integer-weight paths. Returns ``(float64 counts | density,
+    edges)``.
+    """
+    arrs = [np.asarray(a) for a in args]
+    w64 = np.asarray(weights, np.float64)
+    bcast = np.broadcast_arrays(*arrs, w64)  # views — no host copies
+    w64 = bcast[-1]
+    arrs = bcast[:-1]
+
+    finite = np.isfinite(w64)
+    nonfinite_part = None
+    if not finite.all():
+        wnf = np.where(finite, 0.0, w64).astype(np.float32)
+        p, _ = histogram(
+            *arrs,
+            bins=[e for e in edges_np],
+            axis=axis,
+            weights=wnf,
+            density=False,
+            block_size=block_size,
+            method=method,
+        )
+        nonfinite_part = np.asarray(p, np.float64)
+
+    wf = np.where(finite, w64, 0.0)
+    nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
+    ndim = arrs[0].ndim
+    axis_t = normalize_axis(axis, ndim)
+    red = list(axis_t) if axis_t is not None else list(_builtin_range(ndim))
+    kept = [i for i in _builtin_range(ndim) if i not in red]
+    kshape = tuple(arrs[0].shape[i] for i in kept)
+    m_rows = int(np.prod(kshape, dtype=np.int64)) if kshape else 1
+
+    hi = np.zeros((m_rows,) + nbins, np.float64)
+    lo = np.zeros_like(hi)
+    for s, K in _f64_weight_groups(wf):
+        digit_sums, _, _, _ = _wide_int_digit_sums(
+            arrs, edges_np, K,
+            axis=axis, block_size=block_size, method=method,
+        )
+        for j, ds in enumerate(digit_sums):
+            # exact: |per-digit sum| <= 128·n < 2**53 for n < 2**46, and
+            # scaling by a power of two never rounds
+            hi, lo = _dd_add(hi, lo, np.ldexp(ds.astype(np.float64), s + 8 * j))
+
+    h = (hi + lo).reshape(kshape + nbins)
+    if nonfinite_part is not None:
+        h = h + nonfinite_part
     if density:
         bin_axes = tuple(_builtin_range(-len(args), 0))
         totals = h.sum(axis=bin_axes, keepdims=True)
@@ -686,16 +858,20 @@ def histogram(
         core.py:86-134).
     method : 'auto' | 'scatter' | 'onehot' | 'sort' | 'pallas'
         Counting strategy (see ops.bincount / ops.pallas_hist).
-    precision : None | 'split' | 'highest' | 'i8' | 'i8x3'
+    precision : None | 'split' | 'highest' | 'i8' | 'i8x3' | 'f64'
         Per-call weighted-sum precision mode for the pallas kernels
         (None = the ``XHIST_WEIGHTED_PRECISION`` env default, 'split').
         'split' ≈ 17-bit weight representation (relative ~4e-6);
         'highest' is per-weight exact with Kahan cross-tile totals;
         'i8'/'i8x3' trade ABSOLUTE error bounds for int8-MXU speed (see
-        ops/pallas_hist.py). Ignored for unweighted calls (counts are
-        exact in every mode), for INTEGER weights (always exact — they
-        ride the integral digit kernels), and for the XLA strategies
-        (whose scatter adds are plain f32).
+        ops/pallas_hist.py); 'f64' computes float64 weighted sums EXACTLY
+        (correctly rounded per slot — stronger than the reference's
+        sequential float64 bincount) via the host exponent-group +
+        integer-digit decomposition: eager-only, returns numpy float64.
+        Ignored for unweighted calls (counts are exact in every mode),
+        for INTEGER weights (always exact — they ride the integral digit
+        kernels), and — except 'f64' — for the XLA strategies (whose
+        scatter adds are plain f32).
 
     Returns
     -------
@@ -746,6 +922,31 @@ def histogram(
     for nb in nbins:
         if nb < 1:
             raise ValueError("each bins spec must define at least one bin")
+
+    # Exact-f64 weighted tier (precision='f64'): float weights take the
+    # host exponent-group + integer-digit decomposition — correctly-rounded
+    # float64 slot sums, stronger than the reference's sequential float64
+    # bincount (reference core.py:81). Unweighted counts and integer
+    # weights are already exact in every mode, so the request normalizes
+    # away there (same cache-hygiene rule as unweighted precision=).
+    if precision == "f64":
+        if weights is None or np.dtype(weights.dtype).kind in "iub":
+            precision = None
+        else:
+            if any(
+                _bins_mod.is_traced(x) for x in list(args) + [weights]
+            ):
+                raise ValueError(
+                    "precision='f64' runs the exact host decomposition, "
+                    "which cannot run under tracing (and returns float64, "
+                    "which a 32-bit traced caller cannot receive). Call "
+                    "histogram() eagerly, or use precision='highest'."
+                )
+            return _f64_weight_histogram(
+                args, edges_np, weights,
+                axis=axis, density=density, block_size=block_size,
+                method=method,
+            )
 
     # Weight-side exact-device policy — the SAME device_view that protects
     # data inputs (VERDICT r3 #1: weights were the one input class exempted

@@ -193,10 +193,11 @@ def histogram(
     ``NamedArray`` (counts/weighted sums/density) with bin-center
     coordinates.
     """
-    if precision is not None:
+    if precision is not None and precision != "f64":
         from ..ops.pallas_hist import _resolve_wmode
 
-        _resolve_wmode(precision)  # validate eagerly
+        _resolve_wmode(precision)  # validate eagerly ('f64' is not a
+        # kernel mode: core intercepts it before any kernel runs)
     if weights is None:
         # mode-independent when unweighted: don't fork the pipeline cache
         precision = None
@@ -222,6 +223,12 @@ def histogram(
 
     raw = [a.data for a in operands]
     cacheable = range is None
+    if precision == "f64":
+        # the exact-f64 weighted tier runs a host decomposition and
+        # returns float64 — it must take the uncached eager path, where
+        # core.histogram handles it (same rule as the wide-weight dtypes,
+        # which _device_safe already diverts there)
+        cacheable = False
     if cacheable and weights is None:
         # unweighted reductions of >= 2**31 elements per output row need the
         # eager int64 wide-count path — never trace them (core contract)

@@ -261,6 +261,18 @@ def histogram_sharded(
             )
             if local_reduced >= _WIDE_LIMIT:
                 local_wide_limit = _WIDE_LIMIT
+    if precision == "f64" and weights is not None and not jnp.issubdtype(
+        weights.dtype, jnp.integer
+    ):
+        raise ValueError(
+            "precision='f64' runs the exact host decomposition, which "
+            "cannot run under shard_map. Gather to the host and call "
+            "histogram() eagerly, stream chunks through "
+            "StreamingHistogram(precision='f64'), or use "
+            "precision='highest' here."
+        )
+    if precision == "f64":
+        precision = None  # unweighted / integer weights: already exact
     if precision is not None:
         from ..ops.pallas_hist import _resolve_wmode
 

@@ -83,7 +83,13 @@ class StreamingHistogram:
         self._axis = axis
         self._method = method
         self._block_size = block_size
-        if precision is not None:
+        if precision is not None and precision != "f64":
+            # 'f64' is not a kernel mode: each update()'s eager
+            # core.histogram call runs the exact host decomposition and
+            # returns correctly-rounded float64 chunk partials, which the
+            # float64 host accumulator below combines (total error grows
+            # only ~1 ulp per chunk — far below the reference's
+            # O(n·eps64) sequential bincount)
             from .ops.pallas_hist import _resolve_wmode
 
             _resolve_wmode(precision)  # validate at init, not first update
