@@ -108,8 +108,20 @@ def one_case(rng, case_idx, methods):
     # per-call weighted precision (the i8 modes' absolute-error bounds need
     # their own tolerances; they keep dedicated tests)
     precision = None
+    f64_w = False
     if weights is not None and not int_w and rng.rand() < 0.5:
         precision = str(rng.choice(["split", "highest"]))
+    elif weights is not None and not int_w and rng.rand() < 0.3:
+        # exact-f64 tier: wide-exponent POSITIVE float64 weights (no
+        # cancellation, so the f64 oracle itself stays well-conditioned
+        # and a tight tolerance is meaningful; exactness incl.
+        # cancellation is pinned by tests/test_f64_weights.py's
+        # rational oracle)
+        weights = np.abs(rng.randn(*shape)) * 10.0 ** rng.uniform(
+            -15, 15, shape
+        )
+        precision = "f64"
+        f64_w = True
 
     exp = oracle(arrays, edges, axis, weights, density)
     fails = []
@@ -126,6 +138,10 @@ def one_case(rng, case_idx, methods):
             # integer results are exact; the f64 oracle is exact at the
             # drawn magnitudes, so equality must be bitwise
             ok = np.array_equal(got.astype("f8"), exp)
+        elif f64_w:
+            # our result is correctly rounded; the oracle's own error is
+            # O(n·eps64) on these well-conditioned positive sums
+            ok = np.allclose(got, exp, rtol=1e-12, atol=0, equal_nan=True)
         else:
             ok = np.allclose(got, exp, rtol=2e-4, atol=1e-5, equal_nan=True)
         if not ok:
