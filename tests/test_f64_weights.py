@@ -177,19 +177,51 @@ def test_broadcast_weights():
         )
 
 
-def test_streaming_f64_exact_across_chunks():
+def test_streaming_f64_within_chunk_exact():
     from xhistogram_tpu import StreamingHistogram
 
     edges = np.linspace(0.0, 1.0, 3)
     acc = StreamingHistogram(bins=[edges], precision="f64")
     # cancellation WITHIN each chunk is computed exactly (per-chunk sums
-    # are correctly rounded; only the representable per-chunk results
-    # accumulate across chunks — the documented streaming contract)
+    # are correctly rounded before they enter the accumulator)
     acc.update(np.array([0.25, 0.25, 0.25], "f4"),
                weights=np.array([1e16, 1.0, -1e16]))
     acc.update(np.array([0.25], "f4"), weights=np.array([1.0]))
     h, _ = acc.result()
     np.testing.assert_array_equal(h, [2.0, 0.0])
+
+
+def test_streaming_f64_dd_across_chunks():
+    """Cross-chunk cancellation: the double-double accumulator adds the
+    correctly-rounded chunk partials EXACTLY, so magnitude spread across
+    chunks does not lose the small terms (plain f64 accumulation — the
+    pre-r5 behavior — returns 0.0 here: 1e16 + 1.0 rounds to 1e16)."""
+    from xhistogram_tpu import StreamingHistogram
+
+    edges = np.linspace(0.0, 1.0, 3)
+    acc = StreamingHistogram(bins=[edges], precision="f64")
+    acc.update(np.array([0.25], "f4"), weights=np.array([1e16]))
+    acc.update(np.array([0.25], "f4"), weights=np.array([1.0]))
+    acc.update(np.array([0.25], "f4"), weights=np.array([-1e16]))
+    h, _ = acc.result()
+    np.testing.assert_array_equal(h, [1.0, 0.0])
+    # mid-stream state surfaces the combined (hi + lo) value too
+    assert acc.counts[0] == 1.0
+    assert acc.blocks[()][0] == 1.0
+
+
+def test_streaming_f64_overflow_returns_inf():
+    """A slot whose exact stream sum overflows float64 returns +inf, not
+    NaN (the dd compensation term is inf-poisoned there and must be
+    masked — same guard as the eager f64 combine, ADVICE r4)."""
+    from xhistogram_tpu import StreamingHistogram
+
+    edges = np.linspace(0.0, 1.0, 3)
+    acc = StreamingHistogram(bins=[edges], precision="f64")
+    acc.update(np.array([0.25], "f4"), weights=np.array([1.7e308]))
+    acc.update(np.array([0.25], "f4"), weights=np.array([1.7e308]))
+    h, _ = acc.result()
+    assert h[0] == np.inf and h[1] == 0.0
 
 
 def test_labeled_f64_uncached_path():

@@ -27,6 +27,29 @@ __all__ = ["histogram", "histogram2d", "histogramdd"]
 _builtin_range = range
 
 
+def _np_result(h, dtype):
+    """numpy-faithful output dtype (VERDICT r4 #6; probed against numpy):
+    ``np.histogram`` returns intp (int64) counts, the WEIGHTS' dtype for
+    weighted sums, float64 for density; ``np.histogram2d`` /
+    ``np.histogramdd`` return float64 ALWAYS (their accumulator is created
+    as float). These wrappers advertise drop-in numpy signatures, so code
+    checking ``h.dtype`` or relying on float-division semantics must see
+    numpy's dtypes — the TPU-native int32 / weights-dtype contract stays
+    on the main ``xhistogram_tpu.histogram`` API. (One value caveat
+    remains documented in doc/usage.md: integer weights within int32
+    range accumulate mod 2**32 — the main API's wrap contract — while
+    numpy's int64 accumulator wraps only at 2**64.)"""
+    return np.asarray(h).astype(dtype, copy=False)
+
+
+def _histogram1d_dtype(weights, density):
+    if density:
+        return np.float64
+    if weights is None:
+        return np.intp
+    return np.asarray(weights).dtype
+
+
 def histogram(a, bins=10, range=None, weights=None, density=False,
               **kwargs):
     """np.histogram-compatible: full reduction of one input."""
@@ -38,7 +61,7 @@ def histogram(a, bins=10, range=None, weights=None, density=False,
         a, bins=bins, range=range, weights=weights, density=density,
         **kwargs,
     )
-    return h, edges[0]
+    return _np_result(h, _histogram1d_dtype(weights, density)), edges[0]
 
 
 def _split_2d_bins(bins):
@@ -73,7 +96,7 @@ def histogram2d(x, y, bins=10, range=None, weights=None, density=False,
         density=density,
         **kwargs,
     )
-    return h, edges[0], edges[1]
+    return _np_result(h, np.float64), edges[0], edges[1]
 
 
 def histogramdd(sample, bins=10, range=None, weights=None, density=False,
@@ -114,4 +137,4 @@ def histogramdd(sample, bins=10, range=None, weights=None, density=False,
         *arrays, bins=bins_list, range=range, weights=weights,
         density=density, **kwargs,
     )
-    return h, edges
+    return _np_result(h, np.float64), edges

@@ -224,11 +224,18 @@ def histogram(
     raw = [a.data for a in operands]
     cacheable = range is None
     if precision == "f64":
-        # the exact-f64 weighted tier runs a host decomposition and
-        # returns float64 — it must take the uncached eager path, where
-        # core.histogram handles it (same rule as the wide-weight dtypes,
-        # which _device_safe already diverts there)
-        cacheable = False
+        if np.dtype(weights.data.dtype).kind in "iub":
+            # integer weights are exact in every mode — core normalizes
+            # 'f64' away for them, so keep the cached compiled pipeline
+            # instead of needlessly dropping it (ADVICE r4)
+            precision = None
+        else:
+            # the exact-f64 weighted tier runs a host decomposition and
+            # returns float64 — it must take the uncached eager path,
+            # where core.histogram handles it (same rule as the
+            # wide-weight dtypes, which _device_safe already diverts
+            # there)
+            cacheable = False
     if cacheable and weights is None:
         # unweighted reductions of >= 2**31 elements per output row need the
         # eager int64 wide-count path — never trace them (core contract)

@@ -73,6 +73,8 @@ class StreamingHistogram:
                     "cannot see — same contract as the reference's dask "
                     "guard, reference core.py:377-381)"
                 )
+            _bins_mod.validate_edges(b)  # monotonic/NaN/width: fail at
+            # construction, not at the first update (r5 edge validation)
         self._bins = [np.asarray(b) for b in bins_list]
         self._n_inputs = len(self._bins)
         if range is not None:
@@ -84,17 +86,22 @@ class StreamingHistogram:
         self._method = method
         self._block_size = block_size
         if precision is not None and precision != "f64":
-            # 'f64' is not a kernel mode: each update()'s eager
-            # core.histogram call runs the exact host decomposition and
-            # returns correctly-rounded float64 chunk partials, which the
-            # float64 host accumulator below combines (total error grows
-            # only ~1 ulp per chunk — far below the reference's
-            # O(n·eps64) sequential bincount)
             from .ops.pallas_hist import _resolve_wmode
 
             _resolve_wmode(precision)  # validate at init, not first update
         self._precision = precision
         self._blocks = None  # {kept_offset tuple: host accumulator array}
+        # precision='f64' cross-chunk contract: each update()'s eager
+        # core.histogram call returns correctly-rounded float64 chunk
+        # partials, and the accumulator below carries a DOUBLE-DOUBLE
+        # compensation term per block (``_blocks_lo``), so the chunk
+        # partials add EXACTLY across the whole stream — cross-chunk
+        # cancellation is preserved (1e16 in one chunk, -1e16 in another,
+        # 1.0 in a third gives exactly 1.0). The only error left is the
+        # per-chunk final rounding (<= 0.5 ulp of each chunk's own slot
+        # sums), which no cross-chunk scheme can recover (the info is
+        # rounded away before the accumulator sees it); see doc/usage.md.
+        self._blocks_lo = None  # {kept_offset: dd compensation} (f64 only)
         self._edges = None
         self._weighted = None  # pinned by the first update()
 
@@ -155,8 +162,13 @@ class StreamingHistogram:
                     f"chunk keeps {n_kept} axes (one offset per kept axis, "
                     "in kept-axes order)"
                 )
+        dd = (
+            self._precision == "f64" and weighted and h.dtype.kind == "f"
+        )
         if self._blocks is None:
             self._blocks = {kept_offset: h}
+            if dd:
+                self._blocks_lo = {kept_offset: np.zeros_like(h)}
             self._edges = edges
         else:
             n_kept_acc = len(next(iter(self._blocks)))
@@ -169,6 +181,8 @@ class StreamingHistogram:
             prev = self._blocks.get(kept_offset)
             if prev is None:
                 self._blocks[kept_offset] = h
+                if self._blocks_lo is not None:
+                    self._blocks_lo[kept_offset] = np.zeros_like(h)
             else:
                 if h.shape != prev.shape:
                     raise ValueError(
@@ -177,17 +191,47 @@ class StreamingHistogram:
                         f"{prev.shape}: chunks at one offset may only vary "
                         "along reduced axes"
                     )
-                # pin the accumulator dtype from the first chunk: numpy
-                # would silently promote mixed uint64+int64 adds to float64
-                self._blocks[kept_offset] = prev + h.astype(
-                    prev.dtype, copy=False
-                )
+                if self._blocks_lo is not None:
+                    # double-double accumulation: the correctly-rounded
+                    # chunk partials add EXACTLY across chunks (cross-chunk
+                    # cancellation preserved; precision='f64' contract)
+                    from .core import _dd_add
+
+                    # overflowing slots produce ±inf in s and NaN in lo —
+                    # masked at combine time (same guard as the eager tier)
+                    with np.errstate(over="ignore", invalid="ignore"):
+                        s, lo = _dd_add(
+                            prev,
+                            self._blocks_lo[kept_offset],
+                            h.astype(prev.dtype, copy=False),
+                        )
+                    self._blocks[kept_offset] = s
+                    self._blocks_lo[kept_offset] = lo
+                else:
+                    # pin the accumulator dtype from the first chunk: numpy
+                    # would silently promote mixed uint64+int64 adds to
+                    # float64
+                    self._blocks[kept_offset] = prev + h.astype(
+                        prev.dtype, copy=False
+                    )
         return self
+
+    def _combined_blocks(self):
+        """The per-offset block VALUES: the plain accumulators, or — under
+        the precision='f64' double-double accumulation — hi + lo with the
+        overflow guard (a slot whose exact sum overflowed has hi = ±inf
+        and a NaN-poisoned lo; IEEE summation returns ±inf there)."""
+        if self._blocks_lo is None:
+            return self._blocks
+        return {
+            off: np.where(np.isinf(hi), hi, hi + self._blocks_lo[off])
+            for off, hi in self._blocks.items()
+        }
 
     def _stitched(self):
         """Concatenate the kept-offset blocks into the full output array,
         validating that the offsets+shapes tile the kept space exactly."""
-        blocks = self._blocks
+        blocks = self._combined_blocks()
         n_kept = len(next(iter(blocks)))
         # the single-block shortcut applies only to the zero offset: one
         # block at a nonzero kept_offset does NOT tile the output (rec()
@@ -230,7 +274,7 @@ class StreamingHistogram:
         if self._blocks is None:
             return None
         out = {}
-        for off, arr in self._blocks.items():
+        for off, arr in self._combined_blocks().items():
             v = arr.view()
             v.flags.writeable = False
             out[off] = v
