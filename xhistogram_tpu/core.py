@@ -347,6 +347,7 @@ def _uniform_static_key(uniform, n_inputs, nbins, shape, axis_t, method,
         "pair_bits",
         "weighted_mode",
         "uniform",
+        "digit_outputs",
     ),
 )
 def _histogram_impl(
@@ -366,6 +367,7 @@ def _histogram_impl(
     pair_bits=32,
     weighted_mode=None,
     uniform=None,
+    digit_outputs=None,
 ):
     """Jitted pipeline on already-normalized inputs.
 
@@ -484,9 +486,31 @@ def _histogram_impl(
                 ]
                 g, n_slots = joint_bin_index(indices, nbins)
             with jax.named_scope("xhistogram.bincount"):
-                counts = bincount2d(
-                    g, w_2d, n_slots, method=mth, block_size=block_size
-                )
+                if digit_outputs is not None:
+                    # per-digit-output engine, XLA form: the joint index g
+                    # is computed ONCE and shared across the digit counts
+                    # (the same digitize sharing the pallas digN kernels
+                    # get in-register) — one scatter/onehot pass per signed
+                    # base-256 digit of the int32 weights, no combine.
+                    rem = w_2d
+                    parts = []
+                    for _ in _builtin_range(digit_outputs):
+                        d_hi = rem >> 8
+                        low = rem - (d_hi << 8)
+                        adj = (low >= 128).astype(jnp.int32)
+                        digit = low - adj * 256
+                        rem = d_hi + adj
+                        parts.append(
+                            bincount2d(
+                                g, digit, n_slots, method=mth,
+                                block_size=block_size,
+                            )
+                        )
+                    counts = jnp.stack(parts)
+                else:
+                    counts = bincount2d(
+                        g, w_2d, n_slots, method=mth, block_size=block_size
+                    )
         return counts
 
     if wide_limit is not None:
@@ -531,7 +555,13 @@ def _histogram_impl(
         )
     else:
         counts = _count_once(arrays_2d, weights_2d)
-    counts = counts[:, :-1]  # drop the trash slot (== reference's [1:-1] trim)
+    counts = counts[..., :-1]  # drop the trash slot (== reference's [1:-1])
+
+    if digit_outputs is not None:
+        # per-digit engine result: one leading axis of exact int32 digit
+        # slot sums (no density/wide handling here — the host engine owns
+        # the recombination and normalization)
+        return counts.reshape((digit_outputs,) + kshape + tuple(nbins))
 
     h = counts.reshape(kshape + tuple(nbins))
 
@@ -581,24 +611,68 @@ def _infer_mesh_sharding(args, weights):
 _INTW_CHUNK = 1 << 23
 
 
+def _histogram_digits(args_2d, edges_np, word_i32, n_dig, *, block_size,
+                      method):
+    """One shared-digitize device pass of the exact wide-weight engine:
+    per-digit int32 slot sums of one signed base-2**32 weight WORD
+    (ops/intweights.host_words) over already-canonicalized (m, c) chunks.
+
+    Routes through the same jitted pipeline as ``histogram`` with the
+    internal per-digit-output weighted mode ("digN"): the fused TPU
+    kernels extract the digits in-register and run one int8-MXU section
+    per digit behind ONE digitize; the XLA strategies compute the joint
+    index once and scatter per digit. Either way the digitize — the
+    dominant per-pass cost — is paid once per word instead of once per
+    digit (doc/perf_model.md headroom 5: the r4 engine paid one full pass
+    per base-256 digit).
+
+    Returns an int32 device array ``(n_dig, m) + nbins``.
+    """
+    args = [_coerce_host(a) for a in args_2d]
+    args, edges_dev, n_hi_clip, uniform = _prepare_device(args, edges_np)
+    wmode = f"dig{n_dig}"
+    to_b = list(args) + [word_i32]
+    bcast = jnp.broadcast_arrays(*[jnp.asarray(a) for a in to_b])
+    weights_b = bcast[-1]
+    arrays_b = tuple(bcast[:-1])
+    nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
+    uniform = _uniform_static_key(
+        uniform, len(args), nbins, arrays_b[0].shape, (1,), method,
+        True, weights_b.dtype, n_hi_clip, weighted_mode=wmode,
+    )
+    return _histogram_impl(
+        arrays_b, weights_b, edges_dev,
+        axis=(1,), nbins=nbins, density=False, method=method,
+        block_size=block_size, has_weights=True, n_hi_clip=n_hi_clip,
+        weighted_mode=wmode, uniform=uniform, digit_outputs=n_dig,
+    )
+
+
 def _wide_int_digit_sums(args, edges_np, weights, *, axis, block_size,
                          method):
     """Exact per-digit int64 slot sums for integer weights of any width —
     the shared engine of the wide-integer and float64-exact weight paths.
 
     Broadcasts host-side, canonicalizes to (kept rows, reduce cols), and
-    streams reduce-chunks of width ``_INTW_CHUNK`` through the normal
-    int32-weight device pipeline per signed base-256 digit
-    (ops/intweights.py): |digit| <= 128 bounds every per-slot chunk
-    partial inside int32, and the int64 running totals stay exact (they
+    streams reduce-chunks of width ``_INTW_CHUNK`` through per-digit-output
+    device passes (``_histogram_digits``): the weights decompose into
+    signed base-2**32 WORDS host-side (ops/intweights.host_words — int32
+    each), and every word pays ONE digitize for all of its <= 5 signed
+    base-256 digits (r5; the r4 engine re-digitized the data once per
+    digit — 8-9 passes for full-range int64, now 2-3). |digit| <= 128
+    bounds every per-slot chunk partial inside int32
+    (128 × 2**23 = 2**30), and the int64 running totals stay exact (they
     could only round beyond ~2**55 elements per slot).
 
-    Returns ``(digit_sums, kshape, nbins, unsigned)`` with each
-    ``digit_sums[j]`` an exact int64 array of shape ``(m_rows,) + nbins``
-    (``m_rows = prod(kshape)``) — NO mod-2**64 combine has happened, so
-    callers can recombine in whatever arithmetic their contract needs
-    (wrapping uint64 for the integer dtypes, double-double float64 for
-    the exact-f64 tier).
+    Returns ``(digit_sums, kshape, nbins, unsigned)`` with
+    ``digit_sums[p]`` the exact int64 slot sums of base-256 digit position
+    p (shape ``(m_rows,) + nbins``, ``m_rows = prod(kshape)``) — NO
+    mod-2**64 combine has happened, so callers can recombine in whatever
+    arithmetic their contract needs (wrapping uint64 for the integer
+    dtypes, double-double float64 for the exact-f64 tier). A word's
+    5th digit (the signed extraction's {-1,0,1} remainder, worth 256**4 =
+    2**32) lands additively on the NEXT word's position — the combine is
+    linear in positions, so the overlap is exact.
     """
     from .ops import intweights as _intw
 
@@ -625,27 +699,32 @@ def _wide_int_digit_sums(args, edges_np, weights, *, axis, block_size,
     w2 = c2(w_np)
     nbins = tuple(int(e.shape[0]) - 1 for e in edges_np)
     unsigned = w_np.dtype.kind == "u"
-    n_digits = (
-        _intw.digits_for_bounds(w_np.min(), w_np.max()) if w_np.size else 1
-    )
 
+    words = _intw.host_words(w2)
+    n_digs = [
+        _intw.digits_for_bounds(
+            wd.min(), wd.max(), max_digits=_intw.WORD_MAX_DIGITS
+        )
+        if wd.size
+        else 1
+        for wd in words
+    ]
+    n_pos = max(4 * wi + nd for wi, nd in enumerate(n_digs))
     digit_sums = [
-        np.zeros((m_rows,) + nbins, np.int64) for _ in _builtin_range(n_digits)
+        np.zeros((m_rows,) + nbins, np.int64) for _ in _builtin_range(n_pos)
     ]
     for s in _builtin_range(0, max(c_cols, 1), _INTW_CHUNK):
         sl = slice(s, s + _INTW_CHUNK)
         chunk_args = [a[:, sl] for a in a2]
-        for j, d in enumerate(_intw.host_digits(w2[:, sl], n_digits)):
-            part, _ = histogram(
-                *chunk_args,
-                bins=[e for e in edges_np],
-                axis=1,
-                weights=d,
-                density=False,
-                block_size=block_size,
-                method=method,
-            )
-            digit_sums[j] += np.asarray(part).astype(np.int64)
+        for wi, wd in enumerate(words):
+            part = np.asarray(
+                _histogram_digits(
+                    chunk_args, edges_np, wd[:, sl], n_digs[wi],
+                    block_size=block_size, method=method,
+                )
+            ).astype(np.int64)
+            for k in _builtin_range(n_digs[wi]):
+                digit_sums[4 * wi + k] += part[k]
     return digit_sums, kshape, nbins, unsigned
 
 
@@ -1043,9 +1122,9 @@ def histogram(
     # i8x3/i8/highest explicitly when their error model allows it. The
     # mode is a static jit argument, so per-call selection is cache-safe.
     if precision is not None:
-        from .ops.pallas_hist import _resolve_wmode
+        from .ops.pallas_hist import validate_public_precision
 
-        _resolve_wmode(precision)  # validate eagerly
+        validate_public_precision(precision)  # rejects internal modes
     # Unweighted counts are mode-independent: drop the request so it cannot
     # fork the jit cache (a distinct static arg would retrace identical
     # pipelines — ~30-60 s each on the remote-compile TPU path).

@@ -194,10 +194,10 @@ def histogram(
     coordinates.
     """
     if precision is not None and precision != "f64":
-        from ..ops.pallas_hist import _resolve_wmode
+        from ..ops.pallas_hist import validate_public_precision
 
-        _resolve_wmode(precision)  # validate eagerly ('f64' is not a
-        # kernel mode: core intercepts it before any kernel runs)
+        validate_public_precision(precision)  # eager; rejects internal
+        # modes ('f64' is not a kernel mode: core intercepts it first)
     if weights is None:
         # mode-independent when unweighted: don't fork the pipeline cache
         precision = None

@@ -32,10 +32,12 @@ import numpy as np
 
 __all__ = [
     "DEVICE_MAX_DIGITS",
+    "WORD_MAX_DIGITS",
     "digit_span",
     "digits_for_bounds",
     "device_digits",
     "host_digits",
+    "host_words",
     "combine_digit_sums",
 ]
 
@@ -46,6 +48,13 @@ DEVICE_MAX_DIGITS = 4
 #: host-side digit cap: 9 signed base-256 digits span ±0.498·2**72, covering
 #: every int64/uint64 value (via the two's-complement int64 view)
 HOST_MAX_DIGITS = 9
+
+#: digit cap of one int32 WORD under the per-digit-output kernels ("digN"
+#: modes): 4 signed digits span ±128·S₄ ≈ ±0.502·2**32, which misses the
+#: top of int32 ((2139062144, 2**31) needs a 5th digit worth a multiple of
+#: 2**32 — the extraction's remainder lands in {-1, 0, 1}), so 5 digits
+#: cover every int32 exactly (d₄ ∈ {-1, 0, 1})
+WORD_MAX_DIGITS = 5
 
 
 def digit_span(n_digits):
@@ -126,6 +135,38 @@ def host_digits(w, n_digits):
     assert int(digits[-1].min(initial=0)) >= -128
     assert int(digits[-1].max(initial=0)) <= 127
     return digits
+
+
+def host_words(w):
+    """Signed base-2**32 WORD arrays (int32 each) of an integer numpy
+    array: ``w == Σ_j words[j]·2**(32j)`` exactly (uint64 decomposes
+    through its two's-complement int64 view; the uint64 combine mod 2**64
+    makes that exact, as with ``host_digits``).
+
+    This is the single-pass multi-digit engine's host packing (r5,
+    doc/perf_model.md headroom 5): each word rides ONE device pass of a
+    per-digit-output kernel ("digN" weighted mode — one shared digitize,
+    one int8 MXU section per digit), so full-range int64 weights cost 2-3
+    digitizes instead of host_digits' 8-9. The extraction mirrors
+    ``_extract_digit`` at base 2**32: low ∈ [0, 2**32) with values ≥ 2**31
+    borrowing from the next word, so every word is exactly representable
+    in int32 and word j of the extreme int64s lands in {-1, 0, 1} at
+    j == 2 (at most 3 words ever).
+    """
+    if w.dtype == np.uint64:
+        rem = w.view(np.int64)
+    else:
+        rem = w.astype(np.int64, copy=False)
+    words = [np.zeros(w.shape, np.int32)] if rem.size == 0 else []
+    while rem.size:
+        low = rem & np.int64(0xFFFFFFFF)  # [0, 2**32)
+        adj = (low >= np.int64(1) << 31).astype(np.int64)
+        word = low - (adj << 32)  # [-2**31, 2**31)
+        rem = (rem >> 32) + adj  # arithmetic shift: exact floor(rem/2**32)
+        words.append(word.astype(np.int32))
+        if not rem.any():
+            break
+    return words
 
 
 def combine_digit_sums(parts, unsigned):

@@ -164,13 +164,29 @@ def _int_wmode(wmode):
     return None
 
 
+def _dig_wmode(wmode):
+    """Digit count of an internal PER-DIGIT-OUTPUT integer mode ("dig1"..
+    "dig5", core's exact wide-weight/f64 engine — never user-typed), or
+    None. Like "intN" the kernel extracts N signed base-256 digits from
+    int32 weights and runs one int8 MXU section per digit, but it SKIPS
+    the shift-combine and writes each digit's per-slot int32 sums to its
+    own output — the caller recombines in 64-bit host arithmetic, so one
+    digitize is shared across all N digits of a weight word
+    (doc/perf_model.md headroom 5; the r4 engine paid one full pass per
+    digit). N == 5 covers any int32 word exactly (the 5th digit is the
+    signed extraction's {-1,0,1} remainder — intweights.WORD_MAX_DIGITS)."""
+    if isinstance(wmode, str) and wmode.startswith("dig") and wmode[3:].isdigit():
+        return int(wmode[3:])
+    return None
+
+
 def _resolve_wmode(wmode):
     """Resolve a per-call mode request against the env default (``None``
     = no caller preference; any other value — including "" — must be a
     real mode). Internal integer-weight modes ("intN", derived from the
     weights dtype by core, not user input) pass through."""
     mode = _WEIGHTED_MODE if wmode is None else wmode
-    if _int_wmode(mode) is not None:
+    if _int_wmode(mode) is not None or _dig_wmode(mode) is not None:
         return mode
     if mode not in _WEIGHTED_MODES:
         raise ValueError(
@@ -180,9 +196,25 @@ def _resolve_wmode(wmode):
     return mode
 
 
+def validate_public_precision(precision):
+    """Validate a user-supplied ``precision=`` value (all public entry
+    points call this). The internal integer modes ("intN" / "digN") are
+    derived from the weights dtype by core and REJECTED here: selecting
+    them directly on float weights would silently truncate the weights to
+    int32 (r5 — previously "intN" slipped through ``_resolve_wmode``)."""
+    if _int_wmode(precision) is not None or _dig_wmode(precision) is not None:
+        raise ValueError(
+            f"weighted precision mode {precision!r} is internal (derived "
+            f"from integer weights); valid values are {_WEIGHTED_MODES} "
+            "and 'f64'"
+        )
+    _resolve_wmode(precision)
+
+
 def _weight_rhs_dtype(wmode):
     """dtype the weighted kernels build their one-hot rhs in."""
-    if wmode in ("i8", "i8x3") or _int_wmode(wmode) is not None:
+    if wmode in ("i8", "i8x3") or _int_wmode(wmode) is not None \
+            or _dig_wmode(wmode) is not None:
         return jnp.int8
     return jnp.bfloat16
 
@@ -190,12 +222,14 @@ def _weight_rhs_dtype(wmode):
 def _weight_operand_dtype(wmode):
     """dtype the wrappers stage the weights operand in: integer modes keep
     weights integral end-to-end (int32 VMEM tiles), float modes take f32."""
-    return jnp.int32 if _int_wmode(wmode) is not None else jnp.float32
+    integral = _int_wmode(wmode) is not None or _dig_wmode(wmode) is not None
+    return jnp.int32 if integral else jnp.float32
 
 
 def _weighted_out_dtype(wmode):
     """Per-slot accumulator/output dtype of the weighted kernels."""
-    return jnp.int32 if _int_wmode(wmode) is not None else jnp.float32
+    integral = _int_wmode(wmode) is not None or _dig_wmode(wmode) is not None
+    return jnp.int32 if integral else jnp.float32
 
 
 def _as_int32_weights(w2d):
@@ -211,7 +245,7 @@ def _stage_weights(w2d, wmode):
     """Weights operand in the mode's staging dtype (see
     _weight_operand_dtype): int32 for the integer digit modes (uint32
     bitcast — mod-2**32 algebra), f32 for the float precision modes."""
-    if _int_wmode(wmode) is not None:
+    if _int_wmode(wmode) is not None or _dig_wmode(wmode) is not None:
         return _as_int32_weights(w2d)
     return w2d.astype(jnp.float32)
 # Split-mode matmul form: two plain dots vs one concat-stacked dot
@@ -280,7 +314,11 @@ def _weighted_full_cap(wmode):
     (per-element rounding instead of exact products + Kahan), so speed must
     not silently trade it away.
     """
-    n = _int_wmode(_resolve_wmode(wmode))
+    mode = _resolve_wmode(wmode)
+    n = _int_wmode(mode)
+    nd = _dig_wmode(mode)
+    if nd is not None:
+        n = min(nd, 4)  # same MXU cost model as intN (one i8 section/digit)
     if n is not None:
         # int1 wins to ~2^20, int2/int3 to ~2^19 (measured); int4 carries
         # the split-cost cap (2 sections-equivalent)
@@ -685,6 +723,17 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
     dn = (((1,), (1,)), ((), ()))
     nrows = oh_lhs_bool.shape[0]
     n_digits = _int_wmode(wmode)
+    per_digit = False
+    if n_digits is None:
+        nd = _dig_wmode(wmode)
+        if nd is not None:
+            # per-digit-output mode: same extraction + int8 sections as
+            # intN below, but each digit's (rows, slots) int32 dot is
+            # returned SEPARATELY (a tuple) instead of shift-combined —
+            # the caller accumulates each into its own output ref and the
+            # host recombines in 64-bit arithmetic (exact beyond the
+            # mod-2**32 contract; one digitize shared across all digits)
+            n_digits, per_digit = nd, True
     if n_digits is not None:
         # Exact integer weights (VERDICT r3 #3): in-kernel signed base-256
         # digit decomposition — one int8·int8→int32 MXU dot per digit,
@@ -700,6 +749,7 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
         )
         rem = w_row  # (1, E) int32
         counts = None
+        digit_counts = []
         for j in range(n_digits):
             # overflow-safe extraction (the naive (rem+128)&255 - 128 wraps
             # at int32 top): digit ≡ rem (mod 256), digit ∈ [-128, 127] —
@@ -729,9 +779,14 @@ def _weighted_dot(oh_lhs_bool, w_row, rhs_w, faithful, wmode):
                 lhs_k, rhs_w, dimension_numbers=dn,
                 preferred_element_type=jnp.int32,
             )
+            if per_digit:
+                digit_counts.append(dk)
+                continue
             if j:
                 dk = dk * jnp.int32(1 << (8 * j))
             counts = dk if counts is None else counts + dk
+        if per_digit:
+            return tuple(digit_counts), None
         return counts, None
     if not faithful:
         wf = w_row
@@ -897,7 +952,7 @@ def _weight_lhs_bytes(faithful, wmode):
     sections (6 B), intN one f32 staging product + N int8 digit sections;
     + bf16 channel sections (counted conservatively — they only
     materialize on poisoned tiles)."""
-    n_digits = _int_wmode(wmode)
+    n_digits = _int_wmode(wmode) or _dig_wmode(wmode)
     if n_digits is not None:
         base = 4 + n_digits
     else:
@@ -926,7 +981,13 @@ def _kahan_add(o_ref, c_ref, v):
 
 def _accum_weighted(o_refs, counts, kahan):
     """Accumulate the weighted finite part; returns the channel refs that
-    follow the counts (+compensation) outputs."""
+    follow the counts (+compensation) outputs. A TUPLE of counts (the
+    per-digit-output digN modes) accumulates each digit into its own
+    output ref."""
+    if isinstance(counts, tuple):
+        for j, cj in enumerate(counts):
+            o_refs[j][...] += cj
+        return o_refs[len(counts):]
     if kahan:
         _kahan_add(o_refs[0], o_refs[1], counts)
         return o_refs[2:]
@@ -934,10 +995,29 @@ def _accum_weighted(o_refs, counts, kahan):
     return o_refs[1:]
 
 
+def _add_counts(x, y):
+    """x + y for _weighted_dot results: arrays, or per-digit tuples
+    (joint2's E-axis sub-chunk accumulation)."""
+    if isinstance(x, tuple):
+        return tuple(a + b for a, b in zip(x, y))
+    return x + y
+
+
 def _weighted_extra_outputs(faithful, wmode):
     """Extra output operands beyond counts: optional Kahan compensation
-    block + faithful channels."""
+    block + faithful channels; the per-digit-output "digN" modes carry one
+    extra int32 per-slot output per digit beyond the first (never Kahan or
+    faithful — their weights are integral)."""
+    nd = _dig_wmode(wmode)
+    if nd is not None:
+        return nd - 1
     return (1 if _kahan(wmode) else 0) + _n_weight_channels(faithful)
+
+
+def _extra_out_dtype(wmode):
+    """dtype of the extra per-slot outputs: the digN modes' extras are
+    int32 digit sums; Kahan/faithful channels are f32."""
+    return jnp.int32 if _dig_wmode(wmode) is not None else jnp.float32
 
 
 def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
@@ -1360,7 +1440,7 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all, wmode="split"):
         out_shape=[
             jax.ShapeDtypeStruct((out_rows, nb_out), out_dtype)
         ] + [
-            jax.ShapeDtypeStruct((out_rows, nb_out), jnp.float32)
+            jax.ShapeDtypeStruct((out_rows, nb_out), _extra_out_dtype(wmode))
         ] * (n_outs - 1),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -1378,6 +1458,11 @@ def _run_one_input(a2d, w2d, edges, nbins, reduce_all, wmode="split"):
         return x
 
     m_out = 1 if reduce_all else m
+    if weighted_mode and _dig_wmode(wmode) is not None:
+        # per-digit outputs: (n_digits, m_out, nb + trash)
+        parts = jnp.stack([merge(r)[:, :nb] for r in results])
+        trash = jnp.zeros((parts.shape[0], m_out, 1), parts.dtype)
+        return jnp.concatenate([parts, trash], axis=2)
     if weighted_mode:
         counts = merge(results[0])[:, :nb]
         k = 1 if _kahan(wmode) else 0
@@ -1466,7 +1551,7 @@ def _joint2_kernel(
             c_s, flags_s = _weighted_dot(
                 A_s, w_row[:, sl], B_s, faithful, wmode
             )
-            counts = c_s if counts is None else counts + c_s
+            counts = c_s if counts is None else _add_counts(counts, c_s)
             if flags_s is not None:
                 flag_chunks.append((A_s, flags_s, B_s))
     else:
@@ -1613,12 +1698,19 @@ def _run_joint2(a2d, b2d, w2d, edges_a, edges_b, nbins, wmode="split"):
         out_shape=[
             jax.ShapeDtypeStruct((nba_out, nbb_out), out_dtype)
         ] + [
-            jax.ShapeDtypeStruct((nba_out, nbb_out), jnp.float32)
+            jax.ShapeDtypeStruct((nba_out, nbb_out), _extra_out_dtype(wmode))
         ] * (n_outs - 1),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(a2d, b2d, w, alo, ahi, blo, bhi)
 
+    if weighted_mode and _dig_wmode(wmode) is not None:
+        # per-digit outputs: (n_digits, 1, nba·nbb + trash)
+        parts = jnp.stack(
+            [r[:nba, :nbb].reshape(1, nba * nbb) for r in results]
+        )
+        trash = jnp.zeros((parts.shape[0], 1, 1), parts.dtype)
+        return jnp.concatenate([parts, trash], axis=2)
     counts = results[0]
     if weighted_mode:
         base = counts[:nba, :nbb]
@@ -1999,7 +2091,9 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         out_shape=[
             jax.ShapeDtypeStruct((out_rows_total, n2), out_dtype)
         ] + [
-            jax.ShapeDtypeStruct((out_rows_total, n2), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (out_rows_total, n2), _extra_out_dtype(wmode)
+            )
         ] * (n_outs - 1),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -2016,6 +2110,8 @@ def _run_factored(arrays_2d, edges, weights_2d, nbins, per_row=False,
         def post(x):
             return x.reshape(1, n1_pad * n2)[:, :n_slots]
 
+    if weighted and _dig_wmode(wmode) is not None:
+        return jnp.stack([post(r) for r in results])  # (n_digits, m, slots)
     counts = post(results[0])
     if weighted:
         k = 1 if _kahan(wmode) else 0
@@ -2214,7 +2310,9 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins, wmode="split",
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, n_slots_pad), out_dtype)
         ] + [
-            jax.ShapeDtypeStruct((m_pad, n_slots_pad), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (m_pad, n_slots_pad), _extra_out_dtype(wmode)
+            )
         ] * (n_outs - 1),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -2226,6 +2324,8 @@ def _run_direct(arrays_2d, edges, weights_2d, nbins, wmode="split",
             x = x.reshape(m, f, n_slots_pad).sum(axis=1)
         return x[:, :n_slots]
 
+    if weighted and _dig_wmode(wmode) is not None:
+        return jnp.stack([post(r) for r in results])  # (n_digits, m, slots)
     counts = post(results[0])
     if weighted:
         k = 1 if _kahan(wmode) else 0
@@ -2355,7 +2455,11 @@ def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False,
     Weighted calls are differentiable w.r.t. the weights (custom VJP).
 
     Returns ``counts (M, prod(nbins) + 1)`` — trailing trash slot dropped by
-    the caller (same contract as the ops.bincount strategies).
+    the caller (same contract as the ops.bincount strategies). The
+    per-digit-output integer modes (``weighted_mode="digN"``, core's exact
+    wide-weight engine) return ``(N, M, prod(nbins) + 1)`` int32 instead —
+    one per-slot sum per signed base-256 digit of the int32 weights, no
+    shift-combine (the host recombines in 64-bit arithmetic).
     """
     reduce_all = bool(reduce_all or arrays_2d[0].shape[0] == 1)
     if weights_2d is not None:

@@ -86,9 +86,9 @@ class StreamingHistogram:
         self._method = method
         self._block_size = block_size
         if precision is not None and precision != "f64":
-            from .ops.pallas_hist import _resolve_wmode
+            from .ops.pallas_hist import validate_public_precision
 
-            _resolve_wmode(precision)  # validate at init, not first update
+            validate_public_precision(precision)  # at init, not 1st update
         self._precision = precision
         self._blocks = None  # {kept_offset tuple: host accumulator array}
         # precision='f64' cross-chunk contract: each update()'s eager
