@@ -243,7 +243,10 @@ def test_labeled_f64_uncached_path():
     np.testing.assert_array_equal(np.asarray(out.data), ref)
 
 
-def test_sharded_f64_raises():
+def test_sharded_f64_matches_eager():
+    """precision='f64' on histogram_sharded (r5, VERDICT r4 #3): per-digit
+    int32 psums + host double-double combine — bit-identical to the eager
+    exact tier."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
 
@@ -251,10 +254,62 @@ def test_sharded_f64_raises():
 
     devs = np.array(jax.devices()[:4]).reshape(4)
     mesh = Mesh(devs, ("dp",))
-    data = np.random.RandomState(5).rand(8, 16).astype("f4")
-    w = np.random.RandomState(6).rand(8, 16)
+    rng = np.random.RandomState(5)
+    data = rng.rand(8, 16).astype("f4")
+    w = rng.randn(8, 16) * 10.0 ** rng.uniform(-12, 12, (8, 16))
     edges = np.linspace(0.0, 1.0, 5)
-    with pytest.raises(ValueError, match="f64"):
-        histogram_sharded(data, mesh=mesh, in_spec=P("dp", None),
-                          bins=[edges], axis=1, weights=w,
-                          precision="f64")
+    hs, _ = histogram_sharded(data, mesh=mesh, in_spec=P("dp", None),
+                              bins=[edges], axis=1, weights=w,
+                              precision="f64")
+    he, _ = histogram(data, bins=[edges], axis=1, weights=w,
+                      precision="f64")
+    assert hs.dtype == np.float64
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(he))
+    # density composes too
+    hsd, _ = histogram_sharded(data, mesh=mesh, in_spec=P("dp", None),
+                               bins=[edges], axis=1, weights=w,
+                               precision="f64", density=True)
+    hed, _ = histogram(data, bins=[edges], axis=1, weights=w,
+                       precision="f64", density=True)
+    np.testing.assert_array_equal(np.asarray(hsd), np.asarray(hed))
+
+
+def test_sharded_f64_cancellation_across_shards():
+    """Huge +w on one shard, -w on another, tiny survivor on a third:
+    the per-digit int64-exact psums preserve the cancellation exactly
+    (plain f32/f64 psum accumulation would lose the 1.0)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from xhistogram_tpu.parallel import histogram_sharded
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("dp",))
+    data = np.full((4, 4), 0.25, "f4")
+    w = np.zeros((4, 4))
+    w[0, 0] = 1e15
+    w[1, 0] = 1.0
+    w[2, 0] = -1e15
+    edges = np.linspace(0.0, 1.0, 3)
+    h, _ = histogram_sharded(data, mesh=mesh, in_spec=P("dp", None),
+                             bins=[edges], weights=w, precision="f64")
+    np.testing.assert_array_equal(np.asarray(h), [1.0, 0.0])
+
+
+def test_sharded_f64_nonfinite_weights():
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from xhistogram_tpu.parallel import histogram_sharded
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("dp",))
+    data = np.array([[0.25, 0.75]] * 4, "f4")
+    w = np.ones((4, 2))
+    w[0, 0] = np.inf
+    w[1, 1] = np.nan
+    edges = np.linspace(0.0, 1.0, 3)
+    h, _ = histogram_sharded(data, mesh=mesh, in_spec=P("dp", None),
+                             bins=[edges], weights=w, precision="f64")
+    h = np.asarray(h)
+    assert h[0] == np.inf and np.isnan(h[1])

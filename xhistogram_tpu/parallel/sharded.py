@@ -131,6 +131,27 @@ def histogram_sharded(
         else:
             weights = w_host_int = wv
 
+    # precision='f64' with float weights: the exact sharded tier (r5,
+    # VERDICT r4 #3) — host exponent-group decomposition + per-digit
+    # int32-psummed device passes + double-double host combine. The host
+    # decomposition needs concrete float64 values, so traced callers raise.
+    f64_weights = None
+    if (
+        precision == "f64"
+        and weights is not None
+        and np.dtype(weights.dtype).kind == "f"
+    ):
+        if _bins_mod.is_traced(weights) or any(
+            _bins_mod.is_traced(a) for a in args
+        ):
+            raise ValueError(
+                "precision='f64' runs the exact host decomposition, which "
+                "cannot run under tracing; call histogram_sharded eagerly "
+                "or use precision='highest'."
+            )
+        f64_weights = np.asarray(weights, np.float64)
+        weights = None  # handled by the exact digit path below
+
     # Exact device representation (wide-numpy remap + comparison-form edges;
     # same host prep as the core path).
     args, edges_dev, n_hi_clip, uniform = _prepare_device(args, edges_np)
@@ -145,6 +166,7 @@ def histogram_sharded(
     shape = np.broadcast_shapes(
         *[a.shape for a in to_b],
         *([] if wide_weights is None else [wide_weights.shape]),
+        *([] if f64_weights is None else [f64_weights.shape]),
     )
     arrays = [jnp.broadcast_to(a, shape) for a in arrays]
     if weights is not None:
@@ -154,61 +176,6 @@ def histogram_sharded(
     axis_t = normalize_axis(axis, ndim)
     out_spec, psum_axes = reduce_spec(in_spec, axis_t, ndim)
     n_inputs = len(arrays)
-
-    if wide_weights is not None:
-        # Exact wide-integer-weight path (mirror of core.histogram's): one
-        # int32-weight sharded histogram per signed base-256 digit, host
-        # 64-bit combine. Per-digit slot sums ride a single int32 psum —
-        # exact only while 128 * reduced < 2**31, hence the loud guard.
-        from ..core import _INTW_CHUNK
-        from ..ops import intweights as _intw
-
-        reduced = int(
-            np.prod([shape[a] for a in axis_t])
-            if axis_t is not None
-            else np.prod(shape)
-        )
-        if reduced > _INTW_CHUNK:
-            raise ValueError(
-                f"one output row reduces {reduced} elements with integer "
-                f"weights beyond int32 range: per-digit int32 psums would "
-                f"overflow. Stream reduce-axis chunks of <= {_INTW_CHUNK} "
-                f"elements through xhistogram_tpu.StreamingHistogram (its "
-                f"per-chunk results accumulate exactly on the host), or "
-                f"call core.histogram eagerly on the gathered data."
-            )
-        if any(_bins_mod.is_traced(a) for a in arrays):
-            raise ValueError(
-                "integer weights beyond exact int32 range need the host "
-                "digit path, which cannot run under tracing; call "
-                "histogram_sharded eagerly"
-            )
-        w_b = np.broadcast_to(wide_weights, shape)
-        n_digits = (
-            _intw.digits_for_bounds(w_b.min(), w_b.max()) if w_b.size else 1
-        )
-        parts = []
-        for d in _intw.host_digits(w_b, n_digits):
-            h_d, _ = histogram_sharded(
-                *arrays,
-                mesh=mesh,
-                in_spec=in_spec,
-                bins=[e for e in edges_np],
-                axis=axis,
-                weights=d,
-                density=False,
-                block_size=block_size,
-                method=method,
-            )
-            parts.append(np.asarray(h_d).astype(np.int64))
-        h = _intw.combine_digit_sums(
-            parts, unsigned=wide_weights.dtype.kind == "u"
-        )
-        if density:
-            bin_axes = tuple(_builtin_range(-n_inputs, 0))
-            totals = h.sum(axis=bin_axes, keepdims=True)
-            h = h / _bins_mod.bin_areas(edges_np) / totals
-        return h, edges_np
 
     full_out_spec = P(*(list(out_spec) + [None] * len(nbins)))
 
@@ -224,6 +191,146 @@ def histogram_sharded(
             for nm in names:
                 size //= mesh.shape[nm]
         local_shape.append(size)
+
+    if wide_weights is not None or f64_weights is not None:
+        # Exact wide-integer / float64 weight tiers (mirror of core's
+        # engine, distributed): weights decompose host-side into signed
+        # base-2**32 WORDS (ops/intweights.host_words); each word rides
+        # ONE per-digit-output ("digN") device pass — one shared digitize,
+        # <= 5 int8-MXU digit sections, per-digit int32 slot sums psummed
+        # over the mesh (exact while 128 * reduced <= 2**30 < 2**31, hence
+        # the loud guard), 64-bit / double-double host combine after the
+        # gather.
+        from ..core import _INTW_CHUNK, _dd_add, _f64_weight_groups
+        from ..ops import intweights as _intw
+
+        tier = (
+            "integer weights beyond int32 range"
+            if wide_weights is not None
+            else "precision='f64'"
+        )
+        reduced = int(
+            np.prod([shape[a] for a in axis_t])
+            if axis_t is not None
+            else np.prod(shape)
+        )
+        if reduced > _INTW_CHUNK:
+            raise ValueError(
+                f"one output row reduces {reduced} elements with {tier}: "
+                f"per-digit int32 psums would overflow. Stream reduce-axis "
+                f"chunks of <= {_INTW_CHUNK} elements through "
+                f"xhistogram_tpu.StreamingHistogram (its per-chunk results "
+                f"accumulate exactly on the host), or call core.histogram "
+                f"eagerly on the gathered data."
+            )
+        if any(_bins_mod.is_traced(a) for a in arrays):
+            raise ValueError(
+                f"{tier} needs the host digit path, which cannot run "
+                "under tracing; call histogram_sharded eagerly"
+            )
+        kept = (
+            [i for i in _builtin_range(ndim) if i not in axis_t]
+            if axis_t is not None
+            else []
+        )
+        kshape = tuple(shape[i] for i in kept)
+        dig_out_spec = P(*([None] + list(out_spec) + [None] * len(nbins)))
+
+        def _digit_sums(w_int):
+            """Global per-base-256-digit-position int64 slot sums of one
+            integer weight array (the sharded mirror of
+            core._wide_int_digit_sums): one digN pass per word, psummed
+            per digit, accumulated by position on the host (a word's 5th
+            digit lands additively on the next word's position — the
+            combine is linear, so the overlap is exact)."""
+            words = _intw.host_words(np.broadcast_to(w_int, shape))
+            n_digs = [
+                _intw.digits_for_bounds(
+                    wd.min(), wd.max(), max_digits=_intw.WORD_MAX_DIGITS
+                )
+                if wd.size
+                else 1
+                for wd in words
+            ]
+            n_pos = max(4 * wi + nd for wi, nd in enumerate(n_digs))
+            sums = [
+                np.zeros(kshape + nbins, np.int64)
+                for _ in _builtin_range(n_pos)
+            ]
+            for wi, wd in enumerate(words):
+                wmode = f"dig{n_digs[wi]}"
+                uni = _uniform_static_key(
+                    uniform, n_inputs, nbins, tuple(local_shape), axis_t,
+                    method, True, jnp.int32, n_hi_clip,
+                    weighted_mode=wmode,
+                )
+                out = _sharded_impl(
+                    tuple(arrays),
+                    jnp.asarray(wd),
+                    edges_dev,
+                    mesh=mesh,
+                    in_spec=in_spec,
+                    out_spec=dig_out_spec,
+                    axis=axis_t,
+                    nbins=nbins,
+                    method=method,
+                    block_size=block_size,
+                    has_weights=True,
+                    psum_axes=psum_axes,
+                    n_hi_clip=n_hi_clip,
+                    uniform=uni,
+                    weighted_mode=wmode,
+                    digit_outputs=n_digs[wi],
+                )
+                part = np.asarray(out).astype(np.int64)
+                for k in _builtin_range(n_digs[wi]):
+                    sums[4 * wi + k] += part[k]
+            return sums
+
+        if wide_weights is not None:
+            h = _intw.combine_digit_sums(
+                _digit_sums(wide_weights),
+                unsigned=wide_weights.dtype.kind == "u",
+            ).reshape(kshape + nbins)
+        else:
+            # exact f64 tier: exponent groups → exact int64 digit sums →
+            # double-double combine (correctly-rounded slot sums; one f32
+            # pass adds nonfinite weights IEEE-faithfully at the end)
+            w64 = np.broadcast_to(f64_weights, shape)
+            finite = np.isfinite(w64)
+            nonfinite_part = None
+            if not finite.all():
+                wnf = np.where(finite, 0.0, w64).astype(np.float32)
+                p, _ = histogram_sharded(
+                    *arrays,
+                    mesh=mesh,
+                    in_spec=in_spec,
+                    bins=[e for e in edges_np],
+                    axis=axis,
+                    weights=wnf,
+                    density=False,
+                    block_size=block_size,
+                    method=method,
+                )
+                nonfinite_part = np.asarray(p, np.float64)
+            wf = np.where(finite, w64, 0.0)
+            hi = np.zeros(kshape + nbins, np.float64)
+            lo = np.zeros_like(hi)
+            for s, K in _f64_weight_groups(wf):
+                for j, ds in enumerate(_digit_sums(K)):
+                    with np.errstate(over="ignore", invalid="ignore"):
+                        hi, lo = _dd_add(
+                            hi, lo,
+                            np.ldexp(ds.astype(np.float64), s + 8 * j),
+                        )
+            h = np.where(np.isinf(hi), hi, hi + lo)
+            if nonfinite_part is not None:
+                h = h + nonfinite_part
+        if density:
+            bin_axes = tuple(_builtin_range(-n_inputs, 0))
+            totals = h.sum(axis=bin_axes, keepdims=True)
+            h = h / _bins_mod.bin_areas(edges_np) / totals
+        return h, edges_np
 
     # int64 wide-count contract (reference core.py:363, core._WIDE_LIMIT):
     # when one GLOBAL output row reduces >= 2**31 elements, int32 partials
@@ -261,22 +368,14 @@ def histogram_sharded(
             )
             if local_reduced >= _WIDE_LIMIT:
                 local_wide_limit = _WIDE_LIMIT
-    if precision == "f64" and weights is not None and not jnp.issubdtype(
-        weights.dtype, jnp.integer
-    ):
-        raise ValueError(
-            "precision='f64' runs the exact host decomposition, which "
-            "cannot run under shard_map. Gather to the host and call "
-            "histogram() eagerly, stream chunks through "
-            "StreamingHistogram(precision='f64'), or use "
-            "precision='highest' here."
-        )
     if precision == "f64":
-        precision = None  # unweighted / integer weights: already exact
+        # float weights were intercepted by the exact digit tier above;
+        # unweighted / integer weights are already exact in every mode
+        precision = None
     if precision is not None:
-        from ..ops.pallas_hist import _resolve_wmode
+        from ..ops.pallas_hist import validate_public_precision
 
-        _resolve_wmode(precision)  # validate eagerly
+        validate_public_precision(precision)  # rejects internal modes
     # mode-independent when unweighted — don't fork the jit cache on it
     if weights is None:
         precision = None
@@ -366,6 +465,7 @@ def histogram_sharded(
         "wide",
         "local_wide_limit",
         "pair_bits",
+        "digit_outputs",
     ),
 )
 def _sharded_impl(
@@ -388,6 +488,7 @@ def _sharded_impl(
     wide=False,
     local_wide_limit=None,
     pair_bits=32,
+    digit_outputs=None,
 ):
     """Module-level jitted shard_map program (cached across calls; Mesh and
     PartitionSpec are hashable statics). Local reduced-axis ids are unchanged
@@ -429,6 +530,7 @@ def _sharded_impl(
             weighted_mode=weighted_mode,
             wide_limit=local_wide_limit,
             pair_bits=pair_bits,
+            digit_outputs=digit_outputs,
         )
         if not wide:
             if psum_axes:
