@@ -1,13 +1,18 @@
 """Headline benchmark: 1e9-element joint T-S histogram, GB/s per chip.
 
 Prints exactly ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
 
 The baseline is the reference algorithm (xgcm/xhistogram's numpy path:
-searchsorted + ravel_multi_index + bincount, reference core.py:73-186)
-measured on this host's CPU on a subsample and scaled linearly (the algorithm
-is O(n)); see BASELINE.md. "value" is the TPU throughput in GB of input
-consumed per second (two float32 arrays => 8 bytes per element-pair).
+searchsorted + ravel_multi_index + bincount, reference core.py:73-186) on
+this host's CPU on a subsample, scaled linearly (the algorithm is O(n));
+see BASELINE.md. "vs_baseline" compares against PINNED_BASELINE — a
+median-of-9 measurement taken once on a quiet host (scripts/pin_baseline.py;
+VERDICT r4: the previously re-measured-per-run ratio swung 90x-1242x with a
+constant TPU numerator because the driver's bench runs share the host with
+other load). "vs_baseline_live" is the same ratio against a fresh best-of-3
+re-measurement for drift detection. "value" is the TPU throughput in GB of
+input consumed per second (two float32 arrays => 8 bytes per element-pair).
 """
 
 import json
@@ -15,6 +20,17 @@ import sys
 import time
 
 import numpy as np
+
+#: reference-numpy-path throughput pinned on a quiet host
+#: (scripts/pin_baseline.py — re-measure only on demand, never per-run)
+PINNED_BASELINE = {
+    "gbps": 0.0649,
+    "median_ms": 1233.4,
+    "reps": 9,
+    "elems": 10_000_000,
+    "date": "2026-08-19",
+    "host": "Intel(R) Xeon(R) Processor @ 2.10GHz x1",
+}
 
 
 def wait_for_backend(
@@ -178,6 +194,8 @@ def main():
     print(f"# count parity vs reference numpy path: {parity}", file=sys.stderr)
 
     # --- baseline: reference numpy path on CPU, subsample × linear scale ---
+    # live re-measurement (drift detection only; the headline ratio uses
+    # the pinned constant — see module docstring)
     nb = 10_000_000
     tb, sb = t_np.ravel()[:nb], s_np.ravel()[:nb]
     base_dt = float("inf")
@@ -186,14 +204,20 @@ def main():
         reference_numpy_ts(tb, sb, t_edges, s_edges)
         base_dt = min(base_dt, time.perf_counter() - t0)
     base_gbps = nb * 8 / base_dt / 1e9
-    print(f"# baseline (reference numpy path, {nb:.0e} elems): "
-          f"{base_dt*1e3:.0f} ms → {base_gbps:.2f} GB/s", file=sys.stderr)
+    print(f"# live baseline (reference numpy path, {nb:.0e} elems): "
+          f"{base_dt*1e3:.0f} ms → {base_gbps:.2f} GB/s "
+          f"(pinned: {PINNED_BASELINE['gbps']} GB/s, "
+          f"{PINNED_BASELINE['date']}, {PINNED_BASELINE['host']})",
+          file=sys.stderr)
 
+    pinned_gbps = PINNED_BASELINE["gbps"] or base_gbps
     result = {
         "metric": "joint_TS_histogram_1e9_elem_280x340_bins",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / base_gbps, 2),
+        "vs_baseline": round(gbps / pinned_gbps, 2),
+        "baseline_pinned_gbps": PINNED_BASELINE["gbps"],
+        "vs_baseline_live": round(gbps / base_gbps, 2),
         "method": best,
         "count_parity": parity,
         "backend": backend,
