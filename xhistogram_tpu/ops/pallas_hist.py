@@ -2413,14 +2413,18 @@ def _weighted_call(arrays_2d, edges, weights_2d, nbins, reduce_all, wmode,
     — the cotangent pullback is a gather of g at each element's slot. Data
     and edge cotangents are zero (piecewise-constant dependence), matching
     the XLA strategies' implicit behavior."""
-    return _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
-                     wmode=wmode, uniform=uniform)
+    from .partitioning import partitioned_dispatch
+
+    return partitioned_dispatch(arrays_2d, edges, weights_2d, nbins,
+                                reduce_all, wmode=wmode, uniform=uniform)
 
 
 def _weighted_fwd(arrays_2d, edges, weights_2d, nbins, reduce_all, wmode,
                   uniform):
-    out = _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
-                    wmode=wmode, uniform=uniform)
+    from .partitioning import partitioned_dispatch
+
+    out = partitioned_dispatch(arrays_2d, edges, weights_2d, nbins,
+                               reduce_all, wmode=wmode, uniform=uniform)
     return out, (arrays_2d, edges, jnp.zeros((), weights_2d.dtype))
 
 
@@ -2467,5 +2471,7 @@ def pallas_histogram2d(arrays_2d, edges, weights_2d, nbins, reduce_all=False,
             tuple(arrays_2d), tuple(edges), weights_2d, tuple(nbins),
             reduce_all, _resolve_wmode(weighted_mode), uniform,
         )
-    return _dispatch(list(arrays_2d), list(edges), None, nbins, reduce_all,
-                     uniform=uniform)
+    from .partitioning import partitioned_dispatch
+
+    return partitioned_dispatch(list(arrays_2d), list(edges), None, nbins,
+                                reduce_all, uniform=uniform)

@@ -16,16 +16,15 @@ Two usage modes:
   - implicit: call ``xhistogram_tpu.core.histogram`` on mesh-sharded
     arrays. EAGER calls auto-delegate here (core._infer_mesh_sharding →
     ``histogram_sharded``), so the per-shard kernel + psum structure is
-    guaranteed. Calls traced inside a USER jit cannot be delegated and
-    fall to GSPMD: the XLA strategies partition fine (collectives in the
-    HLO, pinned by tests), but the pallas custom call carries no
-    partitioning rule — on a real multi-chip mesh GSPMD would all-gather
-    its operands and run the kernel replicated (correct, not distributed).
-    Inside your own jit over a mesh, call ``histogram_sharded`` (or wrap
-    in ``shard_map`` yourself).
+    guaranteed. Calls traced inside a USER jit partition through GSPMD:
+    the XLA strategies natively (collectives in the HLO, pinned by
+    tests), and the pallas dispatch through its custom_partitioning rule
+    (ops/partitioning.py, r5) — per-shard fused kernels + one psum, no
+    all-gather (HLO-pinned by tests/test_custom_partitioning.py).
   - explicit (this module): ``histogram_sharded`` wraps the pipeline in
     ``shard_map`` so the per-device kernel and the single ``psum`` are
-    guaranteed, independent of partitioner heuristics.
+    guaranteed, independent of partitioner heuristics — and the exact
+    wide-int/f64 weight tiers (host decompositions) live here only.
 
 Density normalization must happen *after* the psum (per-row totals are
 global) — handled here by deferring the density step to post-reduction,
