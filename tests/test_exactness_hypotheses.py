@@ -132,6 +132,7 @@ def test_float_data_exact(problem):
     st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(max_examples=30, deadline=None)
+@pytest.mark.slow
 def test_uniform_certified_grids_bit_exact(t0i, d, nb, seed):
     """Certified-uniform grids (pow-2 / integer spacing) through the
     arithmetic-digitize route must stay bit-exact vs numpy, including
@@ -154,6 +155,7 @@ def test_uniform_certified_grids_bit_exact(t0i, d, nb, seed):
     st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(max_examples=30, deadline=None)
+@pytest.mark.slow
 def test_uniform_ds_grids_bit_exact(a, logw, nb, seed):
     """Generic linspace grids (double-single certificate tier, or the
     compare-chain fallback when certification rejects) must stay
@@ -181,6 +183,7 @@ def test_uniform_ds_grids_bit_exact(a, logw, nb, seed):
     st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(max_examples=25, deadline=None)
+@pytest.mark.slow
 def test_uniform_weighted_routing_bands_exact(ds_tier, nb, seed):
     """Weighted shapes route to the factored kernel at LOWER bin counts
     than unweighted (arith >24, DS >80 — measured crossovers,

@@ -20,6 +20,7 @@ fuzz = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(fuzz)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fuzz_slice(seed):
     rng = np.random.RandomState(seed)
@@ -28,6 +29,7 @@ def test_fuzz_slice(seed):
         assert fuzz.one_case(rng, i, methods), f"seed={seed} case={i}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [2, 3])
 def test_fuzz_slice_forced_xla_digitize(seed, monkeypatch):
     """Same differential fuzz with the TPU XLA digitize routes forced on

@@ -72,6 +72,7 @@ def test_histogram_ones_density(ones, ndims):
         np.testing.assert_allclose(integrals, 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndims", [1, 2])
 def test_weights(ones, ndims):
     dims = ones.dims

@@ -298,6 +298,7 @@ def test_unconsumed_certificates_share_one_jit_trace():
     assert core_mod._histogram_impl._cache_size() - before == 2
 
 
+@pytest.mark.slow
 def test_huge_certified_grid_skips_edge_column():
     """Certified inputs are exempt from the edge cap AND must not stage
     the real edge column as a dead VMEM operand (a >2^22-edge certified
