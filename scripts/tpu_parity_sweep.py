@@ -147,6 +147,33 @@ def main():
     # int32 data
     ints = rng.randint(-50, 50, (4, 600)).astype("i4")
     ok &= check("one_input int32 data", [ints], [e(65, -50, 50)], (1,))
+
+    # narrow DATA dtypes (r5): Mosaic cannot lower sub-32-bit tile
+    # compares, so every kernel family widens tiles in-register
+    # (pallas_hist._widen) — these prove the lowering per family on the
+    # chip (the CPU interpreter does not exercise Mosaic). f16 is the
+    # exception: no VPU f16 extf, so _dispatch pre-casts to f32.
+    import jax.numpy as _jnp
+
+    bf = lambda *s: _jnp.asarray(rng.randn(*s), _jnp.bfloat16)
+    f16 = lambda *s: _jnp.asarray(rng.randn(*s), _jnp.float16)
+    i8d = lambda *s: rng.randint(-50, 50, s).astype("i1")
+    i16d = lambda *s: rng.randint(-50, 50, s).astype("i2")
+    u8d = lambda *s: rng.randint(0, 100, s).astype("u1")
+    ok &= check("bf16 one_input kept rows", [bf(16, 500)], [e(65)], (1,))
+    ok &= check("f16 one_input (pre-cast)", [f16(16, 500)], [e(65)], (1,))
+    ok &= check("i8 data joint2", [i8d(2, 5000), i8d(2, 5000)],
+                [e(61, -60, 60), e(41, -60, 60)], None)
+    ok &= check("bf16 factored 900x900", [bf(2, 4000), bf(2, 4000)],
+                [e(901), e(901)], None)
+    ok &= check("i16 per-row 150x90", [i16d(5, 2000), i16d(5, 2000)],
+                [e(151, -60, 60), e(91, -60, 60)], (1,))
+    ok &= check("u8 packed 120x90 c=64", [u8d(16, 64), u8d(16, 64)],
+                [e(121, 0, 110), e(91, 0, 110)], (1,))
+    ok &= check("bf16 direct weighted c=64", [bf(16, 64), bf(16, 64)],
+                [e(41), e(41)], (1,), w(16, 64))
+    ok &= check(f"bf16 fori digitize {ph._DIG_UNROLL_MAX + 513} edges",
+                [bf(4, 2000)], [e(ph._DIG_UNROLL_MAX + 513)], (1,))
     # i8 weighted mode (Mosaic-sensitive int8 lhs wiring) across kernels
     jax.clear_caches()
     ph._WEIGHTED_MODE = "i8"

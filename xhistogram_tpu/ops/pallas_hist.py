@@ -1037,20 +1037,37 @@ def _pick_tc_bytes(bytes_per_elem, fixed_bytes, c_syn, tm=_SUB):
 from .ftz import fix_neg_subnormals as _fix_neg_subnormals
 
 
+def _widen(x):
+    """32-bit container view of a narrow data/edge tile, right after the
+    VMEM load. Mosaic cannot lower sub-32-bit tile compares on this
+    toolchain (arith.cmpf on packed vector<8x128x2xbf16>: "Target does
+    not support this comparison" — probed r5, scripts/r5_narrow_dtype.py),
+    so bf16/f16 widen to f32 and i8/i16/u8/u16 to i32 in-register. The
+    embeddings are exact, so every comparison against the (same-widened)
+    compare-form edges is bit-identical to the narrow-dtype semantics,
+    while HBM traffic keeps the narrow width."""
+    dt = x.dtype
+    if dt in (jnp.bfloat16, jnp.float16):
+        return x.astype(jnp.float32)
+    if dt in (jnp.int8, jnp.int16, jnp.uint8, jnp.uint16):
+        return x.astype(jnp.int32)
+    return x
+
+
 def _digitize_tile(a, edges_ref):
     """Branchless searchsorted-right of a (tm, tc) tile against a VMEM edge
     column (ne_pad, 1) in half-open comparison form (bins.compare_form);
     returns int32 indices in [0, ne]. Small edge sets unroll (Mosaic
     pipelines the compare chain); large ones run a fori_loop over aligned
     dynamic chunks so compile time stays O(1) in the edge count."""
-    a = _fix_neg_subnormals(a)
+    a = _fix_neg_subnormals(_widen(a))
     ne_pad = edges_ref.shape[0]
     tm, tc = a.shape
     step = min(_DIG_CHUNK, ne_pad)
     if ne_pad <= _DIG_UNROLL_MAX:
         idx = jnp.zeros((tm, tc), jnp.int32)
         for e0 in range(0, ne_pad, step):
-            chunk = edges_ref[e0 : e0 + step, :]  # (step, 1)
+            chunk = _widen(edges_ref[e0 : e0 + step, :])  # (step, 1)
             cmp = a[None, :, :] >= chunk[:, :, None]  # (step, tm, tc)
             idx = idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
         return idx
@@ -1059,7 +1076,7 @@ def _digitize_tile(a, edges_ref):
         # dynamic VMEM ref load (pl.ds start is a multiple of the sublane
         # tile: step is 8-aligned); lax.dynamic_slice on a loaded array is
         # NOT lowerable by Mosaic — the ref-indexed form is
-        chunk = edges_ref[pl.ds(s * step, step), :]
+        chunk = _widen(edges_ref[pl.ds(s * step, step), :])
         cmp = a[None, :, :] >= chunk[:, :, None]
         return idx + jnp.sum(cmp.astype(jnp.int32), axis=0)
 
@@ -1258,7 +1275,7 @@ def _one_input_kernel(
     tm, tc = a_ref.shape
     e_elems = tm * tc
 
-    a_row = _fix_neg_subnormals(a_ref[...].reshape(1, e_elems))
+    a_row = _fix_neg_subnormals(_widen(a_ref[...]).reshape(1, e_elems))
 
     # All index vectors are built directly in (1, E) layout — reshaping a
     # broadcasted iota is an unsupported Mosaic shape cast (replicated lane
@@ -1289,7 +1306,7 @@ def _one_input_kernel(
         a_row = jnp.where(
             in_bounds, a_row, jnp.asarray(jnp.nan, a_row.dtype)
         )
-        A = (a_row >= lo_ref[...]).astype(jnp.bfloat16)
+        A = (a_row >= _widen(lo_ref[...])).astype(jnp.bfloat16)
         counts = jax.lax.dot_general(
             jnp.ones((tm, e_elems), jnp.bfloat16), A,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1310,9 +1327,9 @@ def _one_input_kernel(
     if weighted:
         # bin-membership rows: direct per-bin sums, no cumulative-difference
         # cancellation for float weights
-        rhs_bf = _bin_rows(a_row, lo_ref[...], hi_ref[...]).astype(
-            _weight_rhs_dtype(wmode)
-        )
+        rhs_bf = _bin_rows(
+            a_row, _widen(lo_ref[...]), _widen(hi_ref[...])
+        ).astype(_weight_rhs_dtype(wmode))
         counts, flags = _weighted_dot(
             R_bool, w_ref[...].reshape(1, e_elems), rhs_bf, faithful, wmode
         )
@@ -1324,7 +1341,7 @@ def _one_input_kernel(
         # int8 cast costs more VPU and the doubled MXU rate buys nothing
         # (measured r2: 25.2 vs 23.7 GB/s at 64 bins). Exact: per-tile f32
         # partials ≤ E < 2^24.
-        A = (a_row >= lo_ref[...]).astype(jnp.bfloat16)
+        A = (a_row >= _widen(lo_ref[...])).astype(jnp.bfloat16)
         counts = jax.lax.dot_general(
             R_bool.astype(jnp.bfloat16), A,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1497,8 +1514,8 @@ def _joint2_kernel(
     tm, tc = a_ref.shape
     e_elems = tm * tc
 
-    a_row = _fix_neg_subnormals(a_ref[...].reshape(1, e_elems))
-    b_row = _fix_neg_subnormals(b_ref[...].reshape(1, e_elems))
+    a_row = _fix_neg_subnormals(_widen(a_ref[...]).reshape(1, e_elems))
+    b_row = _fix_neg_subnormals(_widen(b_ref[...]).reshape(1, e_elems))
 
     # The operands keep their natural (rows, cols) layout (pallas inputs are
     # materialized buffers — a host-side flatten would be a full HBM copy);
@@ -1542,12 +1559,14 @@ def _joint2_kernel(
         counts = None
         for s in range(k):
             sl = slice(s * step, (s + 1) * step)
-            A_s = _bin_rows(a_row[:, sl], alo_ref[...], ahi_ref[...])
+            A_s = _bin_rows(
+                a_row[:, sl], _widen(alo_ref[...]), _widen(ahi_ref[...])
+            )
             if not nan_mask:
                 A_s = A_s & ok_row[:, sl]
-            B_s = _bin_rows(b_row[:, sl], blo_ref[...], bhi_ref[...]).astype(
-                _weight_rhs_dtype(wmode)
-            )
+            B_s = _bin_rows(
+                b_row[:, sl], _widen(blo_ref[...]), _widen(bhi_ref[...])
+            ).astype(_weight_rhs_dtype(wmode))
             c_s, flags_s = _weighted_dot(
                 A_s, w_row[:, sl], B_s, faithful, wmode
             )
@@ -1570,22 +1589,22 @@ def _joint2_kernel(
             counts = None
             for s in range(k):
                 sl = slice(s * step, (s + 1) * step)
-                As = a_row[:, sl] >= alo_ref[...]
+                As = a_row[:, sl] >= _widen(alo_ref[...])
                 if not nan_mask:
                     As = As & ok_row[:, sl]
                 As = As.astype(oh_dt)
-                Bs = (b_row[:, sl] >= blo_ref[...]).astype(oh_dt)
+                Bs = (b_row[:, sl] >= _widen(blo_ref[...])).astype(oh_dt)
                 d = jax.lax.dot_general(
                     As, Bs, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=acc_dt,
                 )
                 counts = d if counts is None else counts + d
         else:
-            A = a_row >= alo_ref[...]
+            A = a_row >= _widen(alo_ref[...])
             if not nan_mask:
                 A = A & ok_row
             A = A.astype(oh_dt)
-            B = (b_row >= blo_ref[...]).astype(oh_dt)
+            B = (b_row >= _widen(blo_ref[...])).astype(oh_dt)
             counts = jax.lax.dot_general(
                 A, B, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dt,
@@ -1810,7 +1829,7 @@ def _factored_kernel(
             valid = (row0 + local_row < m_true) & (cols < c_real)
             g = None
             for k in range(n_inputs):
-                a = data_refs[k][b * tm_sub : (b + 1) * tm_sub, :]
+                a = _widen(data_refs[k][b * tm_sub : (b + 1) * tm_sub, :])
                 if uniform is not None and uniform[k] is not None:
                     idx = _digitize_uniform(a, uniform[k], ne=n_edges[k])
                 else:
@@ -1848,7 +1867,7 @@ def _factored_kernel(
     g = None
     valid = in_bounds
     for k in range(n_inputs):
-        a = data_refs[k][...]
+        a = _widen(data_refs[k][...])
         if uniform is not None and uniform[k] is not None:
             idx = _digitize_uniform(a, uniform[k], ne=n_edges[k])
         else:
@@ -2164,7 +2183,7 @@ def _direct_kernel(
     g = None
     valid = in_bounds
     for k in range(n_inputs):
-        a = data_refs[k][...]
+        a = _widen(data_refs[k][...])
         if uniform is not None and uniform[k] is not None:
             idx = _digitize_uniform(a, uniform[k], ne=n_edges[k])
         else:
@@ -2353,6 +2372,21 @@ def _interpret():
 
 def _dispatch(arrays_2d, edges, weights_2d, nbins, reduce_all,
               wmode="split", uniform=None):
+    # float16 (alone among the narrow dtypes) cannot be widened in-kernel:
+    # the TPU VPU has bf16 converts but no f16 extf, so even the f32
+    # upcast fails Mosaic lowering (probed r5, scripts/r5_narrow_dtype.py
+    # — bf16/i8/i16 run at full rate through _widen). Pre-cast f16 data
+    # and its compare-form edges to f32 here (exact: f16 ⊂ f32, so every
+    # comparison is unchanged); costs one XLA-fused pass over the data.
+    if any(a.dtype == jnp.float16 for a in arrays_2d):
+        arrays_2d = [
+            a.astype(jnp.float32) if a.dtype == jnp.float16 else a
+            for a in arrays_2d
+        ]
+        edges = [
+            e.astype(jnp.float32) if e.dtype == jnp.float16 else e
+            for e in edges
+        ]
     n_inputs = len(arrays_2d)
     m, c = arrays_2d[0].shape
     n_outs = 1
