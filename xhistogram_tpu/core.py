@@ -805,17 +805,22 @@ def _f64_weight_groups(wf):
             "exact integer engine. Split the weights by magnitude and sum "
             "the histograms, or use precision='highest'."
         )
+    wflat = wf.reshape(-1)
+    gflat = np.where(nz, g, np.int64(-1)).reshape(-1)
     for gi in gids:
-        sel = nz & (g == gi)
+        # subset-build K (O(group size) ldexp/assert, not O(n) per group —
+        # host-side f64 prep headroom, doc/perf_model.md)
+        idx = np.flatnonzero(gflat == gi)
         s = lmin + int(gi) * _F64_GROUP_STRIDE
-        K = np.ldexp(np.where(sel, wf, 0.0), -s).astype(np.int64)
+        Ksub = np.ldexp(wflat[idx], -s).astype(np.int64)
         # exact by construction (53-bit mantissa + <=9-bit spread < 2**62,
         # and K is the weight's own f64 value rescaled, so the f64 view of
         # K is exact) — anything else is a decomposition bug
-        assert np.array_equal(
-            np.ldexp(K.astype(np.float64), s)[sel], wf[sel]
-        )
-        yield s, K
+        assert np.array_equal(np.ldexp(Ksub.astype(np.float64), s),
+                              wflat[idx])
+        K = np.zeros(wflat.shape, np.int64)
+        K[idx] = Ksub
+        yield s, K.reshape(wf.shape)
 
 
 def _dd_add(hi, lo, x):

@@ -157,6 +157,21 @@ def host_words(w):
         rem = w.view(np.int64)
     else:
         rem = w.astype(np.int64, copy=False)
+    # Sparse fast path: the exact-f64 tier feeds one K array per exponent
+    # group, zero outside the group's members — extraction on the nonzero
+    # subset + a scatter back is O(group size), not O(n) per group
+    # (doc/perf_model.md headroom: host-side f64 prep). Dense inputs
+    # (the wide-int path) skip this on the nnz check.
+    if rem.size >= (1 << 18):
+        flat = np.ascontiguousarray(rem).reshape(-1)
+        idx = np.flatnonzero(flat)
+        if idx.size * 4 < flat.size:
+            out = []
+            for sw in host_words(flat[idx]):
+                full = np.zeros(rem.size, np.int32)
+                full[idx] = sw
+                out.append(full.reshape(w.shape))
+            return out
     words = [np.zeros(w.shape, np.int32)] if rem.size == 0 else []
     while rem.size:
         low = rem & np.int64(0xFFFFFFFF)  # [0, 2**32)
